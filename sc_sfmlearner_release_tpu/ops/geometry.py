@@ -1,0 +1,239 @@
+"""Differentiable projective geometry for self-supervised SfM on TPU.
+
+Implements the backproject -> rigid transform -> project -> sample pipeline
+of SC-DepthV1 (reference behavior: /root/reference/inverse_warp.py) as pure,
+vectorized JAX so the whole warp participates in a single fused XLA program.
+
+Layout conventions (TPU-native, NHWC):
+  images      [B, H, W, C]
+  depth maps  [B, H, W, 1]
+  intrinsics  [B, 3, 3]
+  pose vec    [B, 6] = (tx, ty, tz, rx, ry, rz)
+  pose mat    [B, 3, 4] (camera-to-camera transform, target -> source)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Geometry matmuls are tiny (3x3 / 3x4) but precision-critical: the default
+# matmul precision lowers inputs to bfloat16 on the MXU, which visibly warps
+# projection coordinates. Force full fp32 for all geometry contractions.
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def pixel_grid(h: int, w: int, dtype=jnp.float32) -> jax.Array:
+    """Homogeneous pixel coordinates ``[H, W, 3]`` with entries (x, y, 1).
+
+    Constant-folded under jit; no caching needed (reference caches a global
+    grid, /root/reference/inverse_warp.py:8-17 — unnecessary under XLA).
+    """
+    ys = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(dtype, (h, w), 1)
+    return jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+
+
+def pixel2cam(depth: jax.Array, intrinsics_inv: jax.Array) -> jax.Array:
+    """Backproject pixels into the camera frame.
+
+    Args:
+      depth: ``[B, H, W]`` depth of the target view.
+      intrinsics_inv: ``[B, 3, 3]`` inverse intrinsics.
+
+    Returns:
+      ``[B, H, W, 3]`` camera-frame points (reference: inverse_warp.py:29-44).
+    """
+    b, h, w = depth.shape
+    grid = pixel_grid(h, w, depth.dtype)  # [H, W, 3]
+    rays = jnp.einsum("bij,hwj->bhwi", intrinsics_inv, grid, precision=_HIGHEST)
+    return rays * depth[..., None]
+
+
+def cam2pixel(
+    cam_coords: jax.Array,
+    proj: jax.Array,
+    padding_mode: str = "zeros",
+) -> Tuple[jax.Array, jax.Array]:
+    """Project camera-frame points into normalized source pixel coordinates.
+
+    Args:
+      cam_coords: ``[B, H, W, 3]`` target camera-frame points.
+      proj: ``[B, 3, 4]`` combined ``K @ [R|t]`` camera-to-pixel projection.
+      padding_mode: ``"zeros"`` pushes out-of-frame coordinates to 2.0 so the
+        subsequent zero-padded bilinear sample never blends frame content
+        with padding (reference trick: inverse_warp.py:219-224).
+
+    Returns:
+      (coords ``[B, H, W, 2]`` normalized (x, y) in [-1, 1],
+       computed_depth ``[B, H, W, 1]`` the transformed points' depth).
+    """
+    b, h, w, _ = cam_coords.shape
+    rot, tr = proj[:, :, :3], proj[:, :, 3]
+    p = jnp.einsum("bij,bhwj->bhwi", rot, cam_coords, precision=_HIGHEST) + tr[:, None, None, :]
+    x, y = p[..., 0], p[..., 1]
+    z = jnp.maximum(p[..., 2], 1e-3)
+
+    x_norm = 2.0 * (x / z) / (w - 1.0) - 1.0
+    y_norm = 2.0 * (y / z) / (h - 1.0) - 1.0
+    if padding_mode == "zeros":
+        two = jnp.asarray(2.0, x_norm.dtype)
+        x_norm = jnp.where(jnp.abs(x_norm) > 1.0, two, x_norm)
+        y_norm = jnp.where(jnp.abs(y_norm) > 1.0, two, y_norm)
+
+    coords = jnp.stack([x_norm, y_norm], axis=-1)
+    return coords, z[..., None]
+
+
+def euler2mat(angle: jax.Array) -> jax.Array:
+    """Euler angles (x, y, z, radians) -> rotation matrix ``[B, 3, 3]``.
+
+    Composition order R = Rx @ Ry @ Rz (reference: inverse_warp.py:77-112).
+    """
+    x, y, z = angle[:, 0], angle[:, 1], angle[:, 2]
+    cz, sz = jnp.cos(z), jnp.sin(z)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    cx, sx = jnp.cos(x), jnp.sin(x)
+    zeros = jnp.zeros_like(z)
+    ones = jnp.ones_like(z)
+
+    zmat = jnp.stack(
+        [cz, -sz, zeros, sz, cz, zeros, zeros, zeros, ones], axis=1
+    ).reshape(-1, 3, 3)
+    ymat = jnp.stack(
+        [cy, zeros, sy, zeros, ones, zeros, -sy, zeros, cy], axis=1
+    ).reshape(-1, 3, 3)
+    xmat = jnp.stack(
+        [ones, zeros, zeros, zeros, cx, -sx, zeros, sx, cx], axis=1
+    ).reshape(-1, 3, 3)
+    return jnp.matmul(jnp.matmul(xmat, ymat, precision=_HIGHEST), zmat, precision=_HIGHEST)
+
+
+def quat2mat(quat: jax.Array) -> jax.Array:
+    """3-parameter quaternion (x, y, z; w chosen for unit norm via
+    normalization of (1, x, y, z)) -> rotation matrix ``[B, 3, 3]``.
+
+    Reference: inverse_warp.py:115-136.
+    """
+    b = quat.shape[0]
+    q = jnp.concatenate([jnp.ones((b, 1), quat.dtype), quat], axis=1)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+
+    w2, x2, y2, z2 = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+
+    return jnp.stack(
+        [
+            w2 + x2 - y2 - z2, 2 * xy - 2 * wz, 2 * wy + 2 * xz,
+            2 * wz + 2 * xy, w2 - x2 + y2 - z2, 2 * yz - 2 * wx,
+            2 * xz - 2 * wy, 2 * wx + 2 * yz, w2 - x2 - y2 + z2,
+        ],
+        axis=1,
+    ).reshape(b, 3, 3)
+
+
+def pose_vec2mat(vec: jax.Array, rotation_mode: str = "euler") -> jax.Array:
+    """6-DoF pose vector -> ``[B, 3, 4]`` transform (reference: inverse_warp.py:139-154)."""
+    translation = vec[:, :3, None]
+    rot = vec[:, 3:]
+    if rotation_mode == "euler":
+        rot_mat = euler2mat(rot)
+    elif rotation_mode == "quat":
+        rot_mat = quat2mat(rot)
+    else:
+        raise ValueError(f"unknown rotation_mode: {rotation_mode}")
+    return jnp.concatenate([rot_mat, translation], axis=2)
+
+
+def pose_mat4(mat34: jax.Array) -> jax.Array:
+    """Lift ``[..., 3, 4]`` to homogeneous ``[..., 4, 4]``."""
+    batch = mat34.shape[:-2]
+    bottom = jnp.zeros(batch + (1, 4), mat34.dtype).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([mat34, bottom], axis=-2)
+
+
+def invert_pose_mat4(mat4: jax.Array) -> jax.Array:
+    """Closed-form inverse of a rigid ``[..., 4, 4]`` transform."""
+    r = mat4[..., :3, :3]
+    t = mat4[..., :3, 3:]
+    r_t = jnp.swapaxes(r, -1, -2)
+    t_inv = -jnp.matmul(r_t, t, precision=_HIGHEST)
+    top = jnp.concatenate([r_t, t_inv], axis=-1)
+    return pose_mat4(top)
+
+
+def inverse_warp(
+    img: jax.Array,
+    depth: jax.Array,
+    pose: jax.Array,
+    intrinsics: jax.Array,
+    rotation_mode: str = "euler",
+    padding_mode: str = "zeros",
+) -> Tuple[jax.Array, jax.Array]:
+    """Legacy single-output warp (reference: inverse_warp.py:157-191).
+
+    Args:
+      img: source image ``[B, H, W, 3]``.
+      depth: target depth ``[B, H, W]``.
+      pose: ``[B, 6]`` target->source.
+      intrinsics: ``[B, 3, 3]``.
+
+    Returns:
+      (warped image ``[B, H, W, 3]``, valid mask ``[B, H, W]`` bool).
+    """
+    from .grid_sample import grid_sample
+
+    cam_coords = pixel2cam(depth, jnp.linalg.inv(intrinsics))
+    pose_mat = pose_vec2mat(pose, rotation_mode)
+    proj = jnp.matmul(intrinsics, pose_mat, precision=_HIGHEST)
+    coords, _ = cam2pixel(cam_coords, proj, padding_mode)
+    projected_img = grid_sample(img, coords, padding_mode=padding_mode)
+    valid = jnp.max(jnp.abs(coords), axis=-1) <= 1.0
+    return projected_img, valid
+
+
+def inverse_warp2(
+    img: jax.Array,
+    depth: jax.Array,
+    ref_depth: jax.Array,
+    pose: jax.Array,
+    intrinsics: jax.Array,
+    padding_mode: str = "zeros",
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Warp a source view (image + depth) into the target frame.
+
+    The core SC-Depth op (reference: inverse_warp.py:230-269): backproject
+    target pixels with the target depth, rigidly transform by ``pose``,
+    project into the source frame, and bilinearly sample both the source
+    image and the source depth. Also returns the *computed* depth of the
+    transformed points, used by the geometry-consistency loss.
+
+    Args:
+      img: source image ``[B, H, W, 3]``.
+      depth: target depth ``[B, H, W, 1]``.
+      ref_depth: source depth ``[B, H, W, 1]``.
+      pose: ``[B, 6]`` 6-DoF target->source (euler).
+      intrinsics: ``[B, 3, 3]``.
+
+    Returns:
+      (projected_img ``[B, H, W, 3]``,
+       valid_mask ``[B, H, W, 1]`` float,
+       projected_depth ``[B, H, W, 1]`` source depth sampled at the warp,
+       computed_depth ``[B, H, W, 1]`` depth of transformed target points).
+    """
+    from .grid_sample import grid_sample
+
+    cam_coords = pixel2cam(depth[..., 0], jnp.linalg.inv(intrinsics))
+    pose_mat = pose_vec2mat(pose)
+    proj = jnp.matmul(intrinsics, pose_mat, precision=_HIGHEST)
+    coords, computed_depth = cam2pixel(cam_coords, proj, padding_mode)
+
+    projected_img = grid_sample(img, coords, padding_mode=padding_mode)
+    projected_depth = grid_sample(ref_depth, coords, padding_mode=padding_mode)
+
+    valid = (jnp.max(jnp.abs(coords), axis=-1) <= 1.0).astype(img.dtype)
+    return projected_img, valid[..., None], projected_depth, computed_depth

@@ -1,0 +1,52 @@
+"""SSIM dissimilarity map, 3x3 mean-pool formulation.
+
+Matches the reference implementation (/root/reference/loss_functions.py:11-42):
+reflection-pad by 1, 3x3 average pooling for local statistics, and returns
+``clip((1 - SSIM) / 2, 0, 1)`` so 0 = identical, 1 = maximally dissimilar.
+
+Written as windowed reductions on NHWC so XLA fuses it into the surrounding
+photometric-loss computation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_C1 = 0.01**2
+_C2 = 0.03**2
+
+
+def _mean_pool3(x: jax.Array) -> jax.Array:
+    """3x3 stride-1 mean pooling on a reflection-padded NHWC array."""
+    s = lax.reduce_window(
+        x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
+    )
+    return s / 9.0
+
+
+def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
+    """SSIM dissimilarity between two images.
+
+    Args:
+      x, y: ``[B, H, W, C]`` images.
+
+    Returns:
+      ``[B, H, W, C]`` per-pixel dissimilarity in [0, 1].
+    """
+    pad = ((0, 0), (1, 1), (1, 1), (0, 0))
+    xp = jnp.pad(x, pad, mode="reflect")
+    yp = jnp.pad(y, pad, mode="reflect")
+
+    mu_x = _mean_pool3(xp)
+    mu_y = _mean_pool3(yp)
+
+    sigma_x = _mean_pool3(xp * xp) - mu_x * mu_x
+    sigma_y = _mean_pool3(yp * yp) - mu_y * mu_y
+    sigma_xy = _mean_pool3(xp * yp) - mu_x * mu_y
+
+    n = (2.0 * mu_x * mu_y + _C1) * (2.0 * sigma_xy + _C2)
+    d = (mu_x * mu_x + mu_y * mu_y + _C1) * (sigma_x + sigma_y + _C2)
+
+    return jnp.clip((1.0 - n / d) / 2.0, 0.0, 1.0)

@@ -1,0 +1,19 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices.
+
+This is the JAX-idiomatic way to exercise multi-device sharding (pjit /
+shard_map / collectives) without real TPU hardware; see SURVEY.md §4.
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Persistent compilation cache: repeated test runs skip recompiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
