@@ -1,0 +1,188 @@
+"""ResNet feature-pyramid encoder in Flax (NHWC, TPU-native).
+
+Behavioral parity target: /root/reference/models/resnet_encoder.py —
+a torchvision-structured ResNet (18/34/50/101/152) truncated to its 5 feature
+stages, with optional multi-image input (first conv takes
+``3 * num_input_images`` channels; pretrained weights are channel-averaged at
+conversion time, see models/convert.py).
+
+Module names mirror torchvision's parameter tree (conv1/bn1/layerX_Y with
+conv1..conv3, bn1..bn3, downsample_conv/downsample_bn inside each block) so
+ImageNet / reference checkpoints convert mechanically.
+
+BatchNorm: pass ``axis_name`` to synchronize batch statistics across a device
+mesh axis (sync-BN) — essential at small per-device batch under data
+parallelism (SURVEY.md §7 "Hard parts").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torchvision kaiming_normal_(mode='fan_out', nonlinearity='relu')
+conv_kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+STAGE_BLOCKS = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+BOTTLENECK = {18: False, 34: False, 50: True, 101: True, 152: True}
+
+
+def encoder_channels(num_layers: int) -> Tuple[int, ...]:
+    """Per-stage output channels (reference: resnet_encoder.py:68,84-85)."""
+    base = (64, 64, 128, 256, 512)
+    if BOTTLENECK[num_layers]:
+        return (64,) + tuple(c * 4 for c in base[1:])
+    return base
+
+
+class _Norm(nn.Module):
+    """BatchNorm with optional cross-device stat sync, torch-compatible
+    hyperparameters (momentum 0.1 torch == 0.9 flax, eps 1e-5)."""
+
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            axis_name=self.axis_name if train else None,
+            name="bn",
+        )(x)
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        norm = lambda name: _Norm(self.axis_name, self.dtype, name=name)
+        conv = lambda f, s, name: nn.Conv(
+            f, (3, 3), strides=(s, s), padding=((1, 1), (1, 1)),
+            use_bias=False, dtype=self.dtype, kernel_init=conv_kaiming_init,
+            name=name,
+        )
+
+        identity = x
+        out = conv(self.features, self.strides, "conv1")(x)
+        out = norm("bn1")(out, train)
+        out = nn.relu(out)
+        out = conv(self.features, 1, "conv2")(out)
+        out = norm("bn2")(out, train)
+
+        if self.strides != 1 or identity.shape[-1] != self.features:
+            identity = nn.Conv(
+                self.features, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, dtype=self.dtype, kernel_init=conv_kaiming_init,
+                name="downsample_conv",
+            )(identity)
+            identity = norm("downsample_bn")(identity, train)
+
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (stride on the 3x3 conv, expansion 4)."""
+
+    features: int  # bottleneck width; output is 4x
+    strides: int = 1
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        norm = lambda name: _Norm(self.axis_name, self.dtype, name=name)
+        out_features = self.features * 4
+
+        identity = x
+        out = nn.Conv(
+            self.features, (1, 1), use_bias=False, dtype=self.dtype,
+            kernel_init=conv_kaiming_init, name="conv1",
+        )(x)
+        out = norm("bn1")(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.features, (3, 3), strides=(self.strides, self.strides),
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+            kernel_init=conv_kaiming_init, name="conv2",
+        )(out)
+        out = norm("bn2")(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(
+            out_features, (1, 1), use_bias=False, dtype=self.dtype,
+            kernel_init=conv_kaiming_init, name="conv3",
+        )(out)
+        out = norm("bn3")(out, train)
+
+        if self.strides != 1 or identity.shape[-1] != out_features:
+            identity = nn.Conv(
+                out_features, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, dtype=self.dtype, kernel_init=conv_kaiming_init,
+                name="downsample_conv",
+            )(identity)
+            identity = norm("downsample_bn")(identity, train)
+
+        return nn.relu(out + identity)
+
+
+class ResNetEncoder(nn.Module):
+    """5-stage feature pyramid: [relu(bn(conv1)), layer1..layer4].
+
+    Returns features at strides 2, 4, 8, 16, 32 with channels
+    ``encoder_channels(num_layers)``.
+    """
+
+    num_layers: int = 18
+    num_input_images: int = 1
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
+        if self.num_layers not in STAGE_BLOCKS:
+            raise ValueError(f"unsupported num_layers: {self.num_layers}")
+        blocks = STAGE_BLOCKS[self.num_layers]
+        block_cls = Bottleneck if BOTTLENECK[self.num_layers] else BasicBlock
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, dtype=self.dtype, kernel_init=conv_kaiming_init,
+            name="conv1",
+        )(x)
+        x = _Norm(self.axis_name, self.dtype, name="bn1")(x, train)
+        feat0 = nn.relu(x)
+
+        x = jnp.pad(feat0, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+        features = [feat0]
+        widths = (64, 128, 256, 512)
+        for stage, (width, n_blocks) in enumerate(zip(widths, blocks)):
+            for i in range(n_blocks):
+                strides = 2 if (stage > 0 and i == 0) else 1
+                x = block_cls(
+                    features=width,
+                    strides=strides,
+                    axis_name=self.axis_name,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{i}",
+                )(x, train)
+            features.append(x)
+
+        return features
