@@ -17,3 +17,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Persistent compilation cache: repeated test runs skip recompiles.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# In this environment jax may already be imported at interpreter startup, in
+# which case the env vars above were read too early — force via config (the
+# backend itself is still uninitialized at conftest time).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on CPU with virtual devices; got "
+    f"{jax.devices()}"
+)

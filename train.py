@@ -1,0 +1,349 @@
+#!/usr/bin/env python
+"""SC-SfMLearner TPU training CLI.
+
+CLI-parity with the reference trainer (/root/reference/train.py:24-61): same
+flags, same on-disk experiment layout (checkpoints/<name>/<timestamp>/), same
+CSV/TensorBoard logging channels — but the training loop is a single jitted
+XLA program per step, SPMD-sharded over a TPU mesh, with exact
+optimizer-inclusive checkpointing and a --resume flag the reference lacks.
+
+Example (reference scripts/train_resnet18_depth_256.sh):
+  python train.py $DATA_ROOT --resnet-layers 18 -b4 -s0.1 -c0.5 \
+      --epoch-size 1000 --sequence-length 3 --with-auto-mask 1 \
+      --with-gt --name resnet18_depth_256
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import datetime
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Structure from Motion Learner training on KITTI and "
+        "CityScapes Dataset (TPU-native)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("data", metavar="DIR", help="path to dataset")
+    p.add_argument("--folder-type", choices=["sequence", "pair"], default="sequence")
+    p.add_argument("--sequence-length", type=int, default=3)
+    p.add_argument("-j", "--workers", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--epoch-size", type=int, default=0,
+                   help="manual epoch size (dataset size if 0)")
+    p.add_argument("-b", "--batch-size", type=int, default=4)
+    p.add_argument("--lr", "--learning-rate", type=float, default=1e-4)
+    p.add_argument("--momentum", type=float, default=0.9, help="adam beta1")
+    p.add_argument("--beta", type=float, default=0.999, help="adam beta2")
+    p.add_argument("--weight-decay", "--wd", type=float, default=0)
+    p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-summary", default="progress_log_summary.csv")
+    p.add_argument("--log-full", default="progress_log_full.csv")
+    p.add_argument("--log-output", action="store_true")
+    p.add_argument("--resnet-layers", type=int, default=18, choices=[18, 50])
+    p.add_argument("--num-scales", "--number-of-scales", type=int, default=1)
+    p.add_argument("-p", "--photo-loss-weight", type=float, default=1)
+    p.add_argument("-s", "--smooth-loss-weight", type=float, default=0.1)
+    p.add_argument("-c", "--geometry-consistency-weight", type=float, default=0.5)
+    p.add_argument("--with-ssim", type=int, default=1)
+    p.add_argument("--with-mask", type=int, default=1)
+    p.add_argument("--with-auto-mask", type=int, default=0)
+    p.add_argument("--with-pretrain", type=int, default=1,
+                   help="ImageNet-pretrained encoder init (requires "
+                   "--imagenet-weights-dir with torchvision .pth files)")
+    p.add_argument("--imagenet-weights-dir", default=None,
+                   help="directory holding resnet{18,50}.pth torchvision "
+                   "ImageNet weights for encoder init")
+    p.add_argument("--dataset", choices=["kitti", "nyu"], default="kitti")
+    p.add_argument("--pretrained-disp", default=None,
+                   help="path to pretrained DispNet (.msgpack or torch .pth.tar)")
+    p.add_argument("--pretrained-pose", default=None,
+                   help="path to pretrained PoseNet (.msgpack or torch .pth.tar)")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume full train state from")
+    p.add_argument("--name", required=True)
+    p.add_argument("--padding-mode", choices=["zeros", "border"], default="zeros")
+    p.add_argument("--with-gt", action="store_true")
+    p.add_argument("--skip-frames", type=int, default=1)
+    p.add_argument("--val-batches", type=int, default=0,
+                   help="cap validation batches (0 = all)")
+    p.add_argument("--no-tensorboard", action="store_true")
+    return p
+
+
+def _load_net_variables(path: str, kind: str, num_layers: int):
+    """Load .msgpack (ours) or .pth.tar (reference torch) net weights."""
+    from sc_sfmlearner_release_tpu.models import convert as C
+
+    if path.endswith((".pth", ".pth.tar", ".pt")):
+        sd = C.load_torch_state_dict(path)
+        if kind == "disp":
+            return C.convert_disp_checkpoint(sd, num_layers)
+        return C.convert_pose_checkpoint(sd, 18)
+    import flax.serialization
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    return flax.serialization.msgpack_restore(blob)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from sc_sfmlearner_release_tpu.data import (
+        BatchLoader, PairSet, SequenceSet, ValidationSet, transforms,
+    )
+    from sc_sfmlearner_release_tpu.models import DispNet, PoseNet
+    from sc_sfmlearner_release_tpu.models import convert as C
+    from sc_sfmlearner_release_tpu.parallel import make_mesh, replicate, shard_batch
+    from sc_sfmlearner_release_tpu.training import (
+        LossConfig, create_train_state, make_eval_depth_step, make_eval_step,
+        make_optimizer, make_train_step, restore_train_state, save_checkpoint,
+    )
+    from sc_sfmlearner_release_tpu.utils import AverageMeter, ProgressLogger
+
+    timestamp = datetime.datetime.now().strftime("%m-%d-%H:%M")
+    save_path = os.path.join("checkpoints", args.name, timestamp)
+    os.makedirs(save_path, exist_ok=True)
+    print(f"=> will save everything to {save_path}")
+
+    tb_writer = None
+    if not args.no_tensorboard:
+        try:
+            from tensorboardX import SummaryWriter
+
+            tb_writer = SummaryWriter(save_path)
+        except ImportError:
+            pass
+
+    # ---- data ------------------------------------------------------------
+    train_tf = transforms.train_transform()
+    valid_tf = transforms.valid_transform()
+
+    if args.folder_type == "sequence":
+        train_set = SequenceSet(
+            args.data, train=True, sequence_length=args.sequence_length,
+            skip_frames=args.skip_frames, transform=train_tf,
+            dataset=args.dataset,
+        )
+    else:
+        train_set = PairSet(args.data, train=True, transform=train_tf)
+
+    if args.with_gt:
+        val_set = ValidationSet(args.data, transform=valid_tf, dataset=args.dataset)
+    else:
+        if args.folder_type == "sequence":
+            val_set = SequenceSet(
+                args.data, train=False, sequence_length=args.sequence_length,
+                skip_frames=args.skip_frames, transform=valid_tf,
+                dataset=args.dataset,
+            )
+        else:
+            val_set = PairSet(args.data, train=False, transform=valid_tf)
+
+    print(f"{len(train_set)} samples found in {len(train_set.scenes)} train scenes")
+    print(f"{len(val_set)} samples found in {len(val_set.scenes)} valid scenes")
+
+    train_loader = BatchLoader(
+        train_set, args.batch_size, shuffle=True,
+        num_workers=args.workers, drop_last=True, seed=args.seed,
+    )
+    val_loader = BatchLoader(
+        val_set, args.batch_size, shuffle=False,
+        num_workers=args.workers, drop_last=False, seed=args.seed,
+    )
+    epoch_size = args.epoch_size or len(train_loader)
+
+    # ---- models / state ----------------------------------------------------
+    mesh = make_mesh()
+    print(f"=> mesh: {mesh}")
+
+    disp_model = DispNet(num_layers=args.resnet_layers)
+    pose_model = PoseNet(num_layers=18)
+
+    disp_vars = pose_vars = None
+    if args.with_pretrain and args.imagenet_weights_dir:
+        # ImageNet encoder init with random decoders: init nets, then graft
+        # the converted encoder weights in.
+        def graft(model, n_layers, n_images, dummy_init):
+            path = os.path.join(args.imagenet_weights_dir, f"resnet{n_layers}.pth")
+            sd = C.load_torch_state_dict(path)
+            enc_params, enc_stats = C.convert_imagenet_encoder(sd, n_layers, n_images)
+            dummy_init["params"]["encoder"] = enc_params
+            dummy_init["batch_stats"]["encoder"] = enc_stats
+            return dummy_init
+
+        rng = jax.random.PRNGKey(args.seed)
+        dummy = np.zeros((1, 64, 64, 3), np.float32)
+        disp_vars = graft(
+            disp_model, args.resnet_layers, 1,
+            dict(disp_model.init(rng, dummy, train=True)),
+        )
+        pose_vars = graft(
+            pose_model, 18, 2, dict(pose_model.init(rng, dummy, dummy, train=True)),
+        )
+
+    if args.pretrained_disp:
+        print("=> using pre-trained weights for DispNet")
+        disp_vars = _load_net_variables(args.pretrained_disp, "disp", args.resnet_layers)
+    if args.pretrained_pose:
+        print("=> using pre-trained weights for PoseNet")
+        pose_vars = _load_net_variables(args.pretrained_pose, "pose", 18)
+
+    tx = make_optimizer(args.lr, args.momentum, args.beta, args.weight_decay)
+    state = create_train_state(
+        disp_model, pose_model, tx, jax.random.PRNGKey(args.seed),
+        disp_variables=disp_vars, pose_variables=pose_vars,
+    )
+    if args.resume:
+        print(f"=> resuming full train state from {args.resume}")
+        state = restore_train_state(args.resume, state)
+    state = replicate(state, mesh)
+
+    cfg = LossConfig(
+        photo_weight=args.photo_loss_weight,
+        smooth_weight=args.smooth_loss_weight,
+        geometry_weight=args.geometry_consistency_weight,
+        num_scales=args.num_scales,
+        with_ssim=bool(args.with_ssim),
+        with_mask=bool(args.with_mask),
+        with_auto_mask=bool(args.with_auto_mask),
+        padding_mode=args.padding_mode,
+    )
+    train_step = make_train_step(disp_model, pose_model, tx, cfg)
+    eval_step = make_eval_step(disp_model, pose_model, cfg)
+    eval_depth_step = make_eval_depth_step(disp_model, args.dataset)
+
+    # ---- logging ----------------------------------------------------------
+    with open(os.path.join(save_path, args.log_summary), "w", newline="") as f:
+        csv.writer(f, delimiter="\t").writerow(["train_loss", "validation_loss"])
+    with open(os.path.join(save_path, args.log_full), "w", newline="") as f:
+        csv.writer(f, delimiter="\t").writerow(
+            ["train_loss", "photo_loss", "smooth_loss", "geometry_consistency_loss"]
+        )
+
+    logger = ProgressLogger(args.epochs, epoch_size, len(val_loader))
+    best_error = -1.0
+    n_iter = 0
+
+    for epoch in range(args.epochs):
+        logger.start_epoch(epoch)
+        train_loader.set_epoch(epoch)
+
+        # ---- train ----------------------------------------------------
+        losses = AverageMeter(precision=4)
+        full_rows = []
+        t_data, t_step = AverageMeter(), AverageMeter()
+        end = time.time()
+        i = -1
+        for i, batch in enumerate(train_loader):
+            if i >= epoch_size:
+                break
+            batch.pop("_n_valid", None)
+            batch = shard_batch(batch, mesh)
+            t_data.update(time.time() - end)
+
+            state, metrics = train_step(state, batch)
+
+            if n_iter % args.print_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                losses.update(m["loss"], args.batch_size)
+                full_rows.append(
+                    [m["loss"], m["photo_loss"], m["smooth_loss"], m["geometry_loss"]]
+                )
+                if tb_writer is not None:
+                    tb_writer.add_scalar("photometric_error", m["photo_loss"], n_iter)
+                    tb_writer.add_scalar("disparity_smoothness_loss", m["smooth_loss"], n_iter)
+                    tb_writer.add_scalar("geometry_consistency_loss", m["geometry_loss"], n_iter)
+                    tb_writer.add_scalar("total_loss", m["loss"], n_iter)
+                logger.train_update(
+                    i + 1, f"Time {t_step} Data {t_data} Loss {losses}"
+                )
+            t_step.update(time.time() - end)
+            end = time.time()
+            n_iter += 1
+        logger.train_update(min(i + 1, epoch_size), "")
+        train_loss = losses.avg[0]
+        logger.write(f" * Avg Loss : {train_loss:.3f}")
+
+        with open(os.path.join(save_path, args.log_full), "a", newline="") as f:
+            csv.writer(f, delimiter="\t").writerows(full_rows)
+
+        # ---- validate -------------------------------------------------
+        if args.with_gt:
+            errors, error_names = _validate_with_gt(
+                args, val_loader, state, eval_depth_step, mesh, shard_batch, logger
+            )
+        else:
+            errors, error_names = _validate_without_gt(
+                args, val_loader, state, eval_step, mesh, shard_batch, logger
+            )
+        err_str = ", ".join(
+            f"{n} : {e:.3f}" for n, e in zip(error_names, errors)
+        )
+        logger.write(f" * Avg {err_str}")
+        if tb_writer is not None:
+            for err, name in zip(errors, error_names):
+                tb_writer.add_scalar(name, err, epoch)
+
+        decisive_error = errors[1]
+        if best_error < 0:
+            best_error = decisive_error
+        is_best = decisive_error <= best_error
+        best_error = min(best_error, decisive_error)
+        save_checkpoint(save_path, state, is_best, epoch=epoch + 1)
+
+        with open(os.path.join(save_path, args.log_summary), "a", newline="") as f:
+            csv.writer(f, delimiter="\t").writerow([train_loss, decisive_error])
+
+    return 0
+
+
+def _validate_with_gt(args, val_loader, state, eval_depth_step, mesh, shard, logger):
+    names = ["abs_diff", "abs_rel", "sq_rel", "a1", "a2", "a3"]
+    from sc_sfmlearner_release_tpu.utils import AverageMeter
+
+    meter = AverageMeter(i=len(names))
+    for i, batch in enumerate(val_loader):
+        if args.val_batches and i >= args.val_batches:
+            break
+        n_valid = int(batch.pop("_n_valid"))
+        metrics = eval_depth_step(state, shard(batch, mesh))
+        meter.update([float(metrics[n]) for n in names], n=n_valid)
+        if i % args.print_freq == 0:
+            logger.valid_update(i + 1, f"Abs Error {meter.avg[0]:.4f}")
+    return meter.avg, names
+
+
+def _validate_without_gt(args, val_loader, state, eval_step, mesh, shard, logger):
+    names = ["Total loss", "Photo loss", "Smooth loss", "Consistency loss"]
+    from sc_sfmlearner_release_tpu.utils import AverageMeter
+
+    meter = AverageMeter(i=4, precision=4)
+    for i, batch in enumerate(val_loader):
+        if args.val_batches and i >= args.val_batches:
+            break
+        n_valid = int(batch.pop("_n_valid"))
+        m = eval_step(state, shard(batch, mesh))
+        photo = float(m["photo_loss"])
+        meter.update(
+            [photo, photo, float(m["smooth_loss"]), float(m["geometry_loss"])],
+            n=n_valid,
+        )
+        if i % args.print_freq == 0:
+            logger.valid_update(i + 1, f"Loss {meter}")
+    return meter.avg, names
+
+
+if __name__ == "__main__":
+    sys.exit(main())
