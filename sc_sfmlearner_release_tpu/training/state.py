@@ -29,7 +29,8 @@ def create_train_state(
     pose_model,
     tx: optax.GradientTransformation,
     rng: jax.Array,
-    image_shape=(1, 256, 832, 3),
+    # init shapes only determine channel counts; small is fast to trace
+    image_shape=(1, 64, 64, 3),
     disp_variables: Optional[Any] = None,
     pose_variables: Optional[Any] = None,
 ) -> TrainState:

@@ -1,0 +1,13 @@
+# Eigen-split depth inference + evaluation.
+DISP_NET=${DISP_NET:-checkpoints/resnet18_depth_256/dispnet_model_best.msgpack}
+DATA_ROOT=${DATA_ROOT:-/data/kitti_depth_test}
+RESULTS_DIR=${RESULTS_DIR:-results/test}
+
+python test_disp.py --resnet-layers 18 --img-height 256 --img-width 832 \
+--pretrained-dispnet $DISP_NET --dataset-dir $DATA_ROOT/color \
+--output-dir $RESULTS_DIR
+
+python eval_depth.py \
+--dataset kitti \
+--pred_depth=$RESULTS_DIR/predictions.npy \
+--gt_depth=$DATA_ROOT/depth

@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val-batches", type=int, default=0,
                    help="cap validation batches (0 = all)")
     p.add_argument("--no-tensorboard", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler device trace of a few steps "
+                   "into this directory (view with TensorBoard)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (functional analogue of the "
+                   "reference's anomaly detection, opt-in)")
     return p
 
 
@@ -99,6 +105,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.debug_nans:
+        from sc_sfmlearner_release_tpu.utils import enable_nan_debugging
+
+        enable_nan_debugging()
 
     from sc_sfmlearner_release_tpu.data import (
         BatchLoader, PairSet, SequenceSet, ValidationSet, transforms,
@@ -253,7 +264,12 @@ def main(argv=None) -> int:
             batch = shard_batch(batch, mesh)
             t_data.update(time.time() - end)
 
+            if args.profile_dir and n_iter == 10:
+                jax.profiler.start_trace(args.profile_dir)
             state, metrics = train_step(state, batch)
+            if args.profile_dir and n_iter == 13:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
 
             if n_iter % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
