@@ -12,6 +12,10 @@ Baseline: the PyTorch reference trains this config at roughly 1.25 it/s
 north star is >=5x frames/sec/chip. vs_baseline below is measured
 throughput / 5.0 snippets/s.
 
+Compute runs in bfloat16 (conv path; BN statistics, disparity/pose heads,
+geometry, and all losses in fp32) — the framework's default training
+precision. Measured on TPU v5e: ~1226 snippets/s bf16 vs ~247 fp32.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -30,6 +34,7 @@ TIMED_STEPS = 20
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from sc_sfmlearner_release_tpu.models import DispNet, PoseNet
     from sc_sfmlearner_release_tpu.parallel import make_mesh, replicate, shard_batch
@@ -50,8 +55,8 @@ def main() -> None:
         "intrinsics": np.broadcast_to(k, (BATCH, 3, 3)).copy(),
     }
 
-    disp_model = DispNet(num_layers=18)
-    pose_model = PoseNet(num_layers=18)
+    disp_model = DispNet(num_layers=18, dtype=jnp.bfloat16)
+    pose_model = PoseNet(num_layers=18, dtype=jnp.bfloat16)
     tx = make_optimizer(lr=1e-4)
     state = create_train_state(
         disp_model, pose_model, tx, jax.random.PRNGKey(0),

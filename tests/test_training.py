@@ -62,6 +62,10 @@ def test_train_step_runs_and_loss_decreases():
     step = make_train_step(disp, pose, tx, LossConfig())
     batch = _synthetic_batch()
 
+    import jax as _jax
+
+    params_before = _jax.tree_util.tree_map(np.asarray, state.params)
+
     losses = []
     for _ in range(8):
         state, metrics = step(state, batch)
@@ -70,6 +74,17 @@ def test_train_step_runs_and_loss_decreases():
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
     assert int(state.step) == 8
+
+    # gradients must reach BOTH networks through the warp
+    for net in ("disp", "pose"):
+        before = _jax.tree_util.tree_leaves(params_before[net])
+        after = _jax.tree_util.tree_leaves(
+            _jax.tree_util.tree_map(np.asarray, state.params[net])
+        )
+        changed = sum(
+            not np.allclose(a, b) for a, b in zip(after, before)
+        )
+        assert changed > len(before) * 0.9, f"{net} params mostly unchanged"
 
 
 def test_eval_steps():

@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (functional analogue of the "
                    "reference's anomaly detection, opt-in)")
+    p.add_argument("--precision", choices=["bf16", "fp32"], default="bf16",
+                   help="conv compute precision (params, BN stats, heads, "
+                   "geometry and losses always fp32); bf16 is ~5x faster "
+                   "on TPU")
     return p
 
 
@@ -129,11 +133,17 @@ def main(argv=None) -> int:
     print(f"=> will save everything to {save_path}")
 
     tb_writer = None
+    output_writers = []
     if not args.no_tensorboard:
         try:
             from tensorboardX import SummaryWriter
 
             tb_writer = SummaryWriter(save_path)
+            if args.log_output:
+                output_writers = [
+                    SummaryWriter(os.path.join(save_path, "valid", str(i)))
+                    for i in range(3)
+                ]
         except ImportError:
             pass
 
@@ -179,8 +189,11 @@ def main(argv=None) -> int:
     mesh = make_mesh()
     print(f"=> mesh: {mesh}")
 
-    disp_model = DispNet(num_layers=args.resnet_layers)
-    pose_model = PoseNet(num_layers=18)
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    disp_model = DispNet(num_layers=args.resnet_layers, dtype=compute_dtype)
+    pose_model = PoseNet(num_layers=18, dtype=compute_dtype)
 
     disp_vars = pose_vars = None
     if args.with_pretrain and args.imagenet_weights_dir:
@@ -234,6 +247,14 @@ def main(argv=None) -> int:
     train_step = make_train_step(disp_model, pose_model, tx, cfg)
     eval_step = make_eval_step(disp_model, pose_model, cfg)
     eval_depth_step = make_eval_depth_step(disp_model, args.dataset)
+
+    @jax.jit
+    def _infer_disp(state, img):
+        return disp_model.apply(
+            {"params": state.params["disp"],
+             "batch_stats": state.batch_stats["disp"]},
+            img, train=False,
+        )[0][..., 0]
 
     # ---- logging ----------------------------------------------------------
     with open(os.path.join(save_path, args.log_summary), "w", newline="") as f:
@@ -298,11 +319,13 @@ def main(argv=None) -> int:
         # ---- validate -------------------------------------------------
         if args.with_gt:
             errors, error_names = _validate_with_gt(
-                args, val_loader, state, eval_depth_step, mesh, shard_batch, logger
+                args, val_loader, state, eval_depth_step, mesh, shard_batch,
+                logger, output_writers, _infer_disp, epoch,
             )
         else:
             errors, error_names = _validate_without_gt(
-                args, val_loader, state, eval_step, mesh, shard_batch, logger
+                args, val_loader, state, eval_step, mesh, shard_batch, logger,
+                output_writers, _infer_disp, epoch,
             )
         err_str = ", ".join(
             f"{n} : {e:.3f}" for n, e in zip(error_names, errors)
@@ -325,7 +348,32 @@ def main(argv=None) -> int:
     return 0
 
 
-def _validate_with_gt(args, val_loader, state, eval_depth_step, mesh, shard, logger):
+def _log_val_images(writers, infer_disp, state, img_batch, i, epoch):
+    """TB depth/disparity images for the first len(writers) val batches
+    (reference behavior: train.py:328-337, 390-408)."""
+    if i >= len(writers):
+        return
+    from sc_sfmlearner_release_tpu.utils import tensor2array
+
+    disp = np.asarray(infer_disp(state, img_batch))[0]
+    img = np.asarray(img_batch[0])
+    w = writers[i]
+    if epoch == 0:
+        w.add_image("val Input", tensor2array(img), 0, dataformats="HWC")
+    w.add_image(
+        "val Dispnet Output Normalized",
+        tensor2array(disp, max_value=None, colormap="magma"),
+        epoch, dataformats="HWC",
+    )
+    w.add_image(
+        "val Depth Output",
+        tensor2array(1.0 / disp, max_value=10),
+        epoch, dataformats="HWC",
+    )
+
+
+def _validate_with_gt(args, val_loader, state, eval_depth_step, mesh, shard,
+                      logger, output_writers=(), infer_disp=None, epoch=0):
     names = ["abs_diff", "abs_rel", "sq_rel", "a1", "a2", "a3"]
     from sc_sfmlearner_release_tpu.utils import AverageMeter
 
@@ -334,14 +382,19 @@ def _validate_with_gt(args, val_loader, state, eval_depth_step, mesh, shard, log
         if args.val_batches and i >= args.val_batches:
             break
         n_valid = int(batch.pop("_n_valid"))
-        metrics = eval_depth_step(state, shard(batch, mesh))
+        sharded = shard(batch, mesh)
+        metrics = eval_depth_step(state, sharded)
+        if output_writers and infer_disp is not None:
+            _log_val_images(output_writers, infer_disp, state,
+                            sharded["img"], i, epoch)
         meter.update([float(metrics[n]) for n in names], n=n_valid)
         if i % args.print_freq == 0:
             logger.valid_update(i + 1, f"Abs Error {meter.avg[0]:.4f}")
     return meter.avg, names
 
 
-def _validate_without_gt(args, val_loader, state, eval_step, mesh, shard, logger):
+def _validate_without_gt(args, val_loader, state, eval_step, mesh, shard,
+                         logger, output_writers=(), infer_disp=None, epoch=0):
     names = ["Total loss", "Photo loss", "Smooth loss", "Consistency loss"]
     from sc_sfmlearner_release_tpu.utils import AverageMeter
 
@@ -350,7 +403,11 @@ def _validate_without_gt(args, val_loader, state, eval_step, mesh, shard, logger
         if args.val_batches and i >= args.val_batches:
             break
         n_valid = int(batch.pop("_n_valid"))
-        m = eval_step(state, shard(batch, mesh))
+        batch = shard(batch, mesh)
+        m = eval_step(state, batch)
+        if output_writers and infer_disp is not None:
+            _log_val_images(output_writers, infer_disp, state,
+                            batch["tgt"], i, epoch)
         photo = float(m["photo_loss"])
         meter.update(
             [photo, photo, float(m["smooth_loss"]), float(m["geometry_loss"])],
