@@ -28,9 +28,9 @@ import numpy as np
 
 
 def _imread_f32(path: str) -> np.ndarray:
-    import imageio.v2 as imageio
+    from .native_io import imread_f32
 
-    return np.asarray(imageio.imread(path)).astype(np.float32)
+    return imread_f32(path)
 
 
 def _read_scene_list(root: str, name: str) -> List[str]:

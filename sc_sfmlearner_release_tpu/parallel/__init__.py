@@ -1,3 +1,3 @@
-from .mesh import make_mesh, shard_batch, replicate, batch_sharding
+from .mesh import make_mesh, shard_batch, replicate, batch_sharding, device_prefetch
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding", "device_prefetch"]

@@ -58,3 +58,28 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (e.g. the train state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def device_prefetch(iterator, mesh: Mesh, size: int = 2, axis_name: str = DATA_AXIS):
+    """Stage host batches onto the device ``size`` steps ahead.
+
+    With ~4 ms fused steps, the ~3 ms H2D copy of a KITTI batch would
+    otherwise serialize with compute; prefetching overlaps transfer with the
+    previous step's execution (jax dispatch is async, so device_put of the
+    next batch proceeds while the current step runs).
+    """
+    import collections
+
+    queue = collections.deque()
+
+    def put(batch):
+        n_valid = batch.pop("_n_valid", None)
+        staged = shard_batch(batch, mesh, axis_name)
+        return staged, n_valid
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

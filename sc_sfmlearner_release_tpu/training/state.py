@@ -44,10 +44,16 @@ def create_train_state(
     dummy = jnp.zeros(image_shape, jnp.float32)
     rng, k1, k2 = jax.random.split(rng, 3)
 
+    # jit the initializers: eager per-op dispatch of ~60 convs is orders of
+    # magnitude slower than one compiled program.
     if disp_variables is None:
-        disp_variables = disp_model.init(k1, dummy, train=True)
+        disp_variables = jax.jit(
+            lambda k, x: disp_model.init(k, x, train=True)
+        )(k1, dummy)
     if pose_variables is None:
-        pose_variables = pose_model.init(k2, dummy, dummy, train=True)
+        pose_variables = jax.jit(
+            lambda k, x: pose_model.init(k, x, x, train=True)
+        )(k2, dummy)
 
     params = {
         "disp": disp_variables["params"],

@@ -4,7 +4,6 @@ Subprocesses share the persistent JAX compile cache (conftest env), so
 repeated runs are cheap.
 """
 
-import json
 import os
 import subprocess
 import sys
@@ -42,8 +41,8 @@ def disp_ckpt(tmp_path_factory):
 
     d = tmp_path_factory.mktemp("ckpt")
     model = DispNet(num_layers=18)
-    variables = model.init(
-        jax.random.PRNGKey(0), np.zeros((1, H, W, 3), np.float32), train=True
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), np.zeros((1, H, W, 3), np.float32)
     )
     path = d / "dispnet_checkpoint.msgpack"
     with open(path, "wb") as f:
@@ -61,7 +60,9 @@ def pose_ckpt(tmp_path_factory):
     d = tmp_path_factory.mktemp("ckpt")
     model = PoseNet(num_layers=18)
     x = np.zeros((1, H, W, 3), np.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, x, train=True)
+    variables = jax.jit(lambda k, x: model.init(k, x, x, train=True))(
+        jax.random.PRNGKey(0), x
+    )
     path = d / "exp_pose_checkpoint.msgpack"
     with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(dict(variables)))

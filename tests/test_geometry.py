@@ -1,5 +1,8 @@
 """Tests for the projective-geometry core (ops/geometry.py)."""
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.spatial.transform import Rotation
@@ -8,11 +11,15 @@ from sc_sfmlearner_release_tpu.ops import (
     cam2pixel,
     euler2mat,
     invert_pose_mat4,
-    inverse_warp2,
     pixel2cam,
     pose_mat4,
     pose_vec2mat,
     quat2mat,
+)
+from sc_sfmlearner_release_tpu.ops import inverse_warp2 as _inverse_warp2
+
+inverse_warp2 = jax.jit(
+    functools.partial(_inverse_warp2, padding_mode="zeros")
 )
 
 

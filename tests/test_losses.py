@@ -1,17 +1,34 @@
 """Tests for SSIM and the SC-Depth loss stack (ops/ssim.py, ops/losses.py)."""
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
 import torch.nn.functional as F
 
+from sc_sfmlearner_release_tpu.ops import mean_on_mask
+from sc_sfmlearner_release_tpu.ops import pairwise_loss as _pairwise_loss
 from sc_sfmlearner_release_tpu.ops import (
-    mean_on_mask,
-    pairwise_loss,
-    photo_and_geometry_loss,
-    smooth_loss,
-    ssim,
+    photo_and_geometry_loss as _photo_and_geometry_loss,
 )
+from sc_sfmlearner_release_tpu.ops import smooth_loss as _smooth_loss
+from sc_sfmlearner_release_tpu.ops import ssim as _ssim
+
+# eager per-op dispatch is very slow in this environment; jit everything
+ssim = jax.jit(_ssim)
+smooth_loss = jax.jit(_smooth_loss)
+
+
+def pairwise_loss(*args, **kwargs):
+    fn = functools.partial(_pairwise_loss, **kwargs)
+    return jax.jit(fn)(*args)
+
+
+def photo_and_geometry_loss(*args, **kwargs):
+    fn = functools.partial(_photo_and_geometry_loss, **kwargs)
+    return jax.jit(fn)(*args)
 
 
 def _torch_ssim(x_nhwc, y_nhwc):

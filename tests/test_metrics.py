@@ -6,7 +6,19 @@ import jax.numpy as jnp
 import numpy as np
 import torch
 
-from sc_sfmlearner_release_tpu.ops import compute_depth_errors
+import functools
+
+import jax
+
+from sc_sfmlearner_release_tpu.ops import (
+    compute_depth_errors as _compute_depth_errors,
+)
+
+
+def compute_depth_errors(gt, pred, dataset):
+    return jax.jit(functools.partial(_compute_depth_errors, dataset=dataset))(
+        gt, pred
+    )
 from sc_sfmlearner_release_tpu.ops.metrics import masked_median_lower
 
 

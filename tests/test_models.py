@@ -35,8 +35,12 @@ def _nhwc(t):
 def test_disp_net_shapes_and_range():
     model = DispNet(num_layers=18)
     x = jnp.zeros((B, H, W, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=True)
-    disps = model.apply(variables, x, train=True, mutable=["batch_stats"])[0]
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), x
+    )
+    disps = jax.jit(
+        lambda v, x: model.apply(v, x, train=True, mutable=["batch_stats"])
+    )(variables, x)[0]
     assert len(disps) == 4
     for s, d in enumerate(disps):
         assert d.shape == (B, H // (2**s), W // (2**s), 1)
@@ -46,8 +50,10 @@ def test_disp_net_shapes_and_range():
 def test_pose_net_shape():
     model = PoseNet(num_layers=18)
     x = jnp.zeros((B, H, W, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, x, train=True)
-    pose = model.apply(variables, x, x, train=False)
+    variables = jax.jit(lambda k, x: model.init(k, x, x, train=True))(
+        jax.random.PRNGKey(0), x
+    )
+    pose = jax.jit(lambda v, x: model.apply(v, x, x, train=False))(variables, x)
     assert pose.shape == (B, 6)
 
 
@@ -62,8 +68,8 @@ def test_encoder_matches_torch(num_layers):
     x = rng.rand(B, H, W, 3).astype(np.float32)
 
     with jax.default_matmul_precision("highest"):
-        feats = enc.apply(
-            {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+        feats = jax.jit(lambda v, x: enc.apply(v, x, train=False))(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x)
         )
     with torch.no_grad():
         tfeats = tenc(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
@@ -83,8 +89,11 @@ def test_disp_net_matches_torch_via_checkpoint_conversion():
     rng = np.random.RandomState(1)
     x = rng.rand(B, H, W, 3).astype(np.float32)
 
+    model = DispNet(num_layers=18)
     with jax.default_matmul_precision("highest"):
-        disps = DispNet(num_layers=18).apply(variables, jnp.asarray(x), train=False)
+        disps = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
     with torch.no_grad():
         tdisps = tnet(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
 
@@ -101,9 +110,10 @@ def test_pose_net_matches_torch_via_checkpoint_conversion():
     x1 = rng.rand(B, H, W, 3).astype(np.float32)
     x2 = rng.rand(B, H, W, 3).astype(np.float32)
 
+    model = PoseNet(num_layers=18)
     with jax.default_matmul_precision("highest"):
-        pose = PoseNet(num_layers=18).apply(
-            variables, jnp.asarray(x1), jnp.asarray(x2), train=False
+        pose = jax.jit(lambda v, a, b: model.apply(v, a, b, train=False))(
+            variables, jnp.asarray(x1), jnp.asarray(x2)
         )
     with torch.no_grad():
         tpose = tnet(
@@ -116,8 +126,12 @@ def test_pose_net_matches_torch_via_checkpoint_conversion():
 def test_batch_stats_update_in_train_mode():
     model = DispNet(num_layers=18)
     x = jnp.ones((B, H, W, 3)) * 0.3
-    variables = model.init(jax.random.PRNGKey(0), x, train=True)
-    _, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), x
+    )
+    _, mutated = jax.jit(
+        lambda v, x: model.apply(v, x, train=True, mutable=["batch_stats"])
+    )(variables, x)
     before = jax.tree_util.tree_leaves(variables["batch_stats"])
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(

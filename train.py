@@ -120,7 +120,9 @@ def main(argv=None) -> int:
     )
     from sc_sfmlearner_release_tpu.models import DispNet, PoseNet
     from sc_sfmlearner_release_tpu.models import convert as C
-    from sc_sfmlearner_release_tpu.parallel import make_mesh, replicate, shard_batch
+    from sc_sfmlearner_release_tpu.parallel import (
+        device_prefetch, make_mesh, replicate, shard_batch,
+    )
     from sc_sfmlearner_release_tpu.training import (
         LossConfig, create_train_state, make_eval_depth_step, make_eval_step,
         make_optimizer, make_train_step, restore_train_state, save_checkpoint,
@@ -278,11 +280,9 @@ def main(argv=None) -> int:
         t_data, t_step = AverageMeter(), AverageMeter()
         end = time.time()
         i = -1
-        for i, batch in enumerate(train_loader):
+        for i, (batch, _) in enumerate(device_prefetch(train_loader, mesh)):
             if i >= epoch_size:
                 break
-            batch.pop("_n_valid", None)
-            batch = shard_batch(batch, mesh)
             t_data.update(time.time() - end)
 
             if args.profile_dir and n_iter == 10:
