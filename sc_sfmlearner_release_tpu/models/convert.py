@@ -161,3 +161,88 @@ def convert_imagenet_encoder(
         sd, num_layers, torch_prefix="",
         num_input_images=num_input_images, average_conv1=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Export: Flax variables -> reference torch state_dict layout, so checkpoints
+# trained here drop into the reference's tooling unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_torch(k: Array) -> Array:
+    """flax [kh, kw, I, O] -> torch [O, I, kh, kw]."""
+    return np.ascontiguousarray(np.transpose(np.asarray(k), (3, 2, 0, 1)))
+
+
+def _export_bn(params: Tree, stats: Tree, tkey: str, out: Dict[str, Array]):
+    out[f"{tkey}.weight"] = np.asarray(params["bn"]["scale"])
+    out[f"{tkey}.bias"] = np.asarray(params["bn"]["bias"])
+    out[f"{tkey}.running_mean"] = np.asarray(stats["bn"]["mean"])
+    out[f"{tkey}.running_var"] = np.asarray(stats["bn"]["var"])
+    out[f"{tkey}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_resnet_encoder(
+    params: Tree, stats: Tree, num_layers: int, torch_prefix: str = ""
+) -> Dict[str, Array]:
+    p = torch_prefix
+    out: Dict[str, Array] = {}
+    out[f"{p}conv1.weight"] = _kernel_torch(params["conv1"]["kernel"])
+    _export_bn(params["bn1"], stats["bn1"], f"{p}bn1", out)
+
+    n_convs = 3 if BOTTLENECK[num_layers] else 2
+    for stage, n_blocks in enumerate(STAGE_BLOCKS[num_layers], start=1):
+        for i in range(n_blocks):
+            fb = f"layer{stage}_{i}"
+            tb = f"{p}layer{stage}.{i}"
+            for j in range(1, n_convs + 1):
+                out[f"{tb}.conv{j}.weight"] = _kernel_torch(
+                    params[fb][f"conv{j}"]["kernel"]
+                )
+                _export_bn(params[fb][f"bn{j}"], stats[fb][f"bn{j}"],
+                           f"{tb}.bn{j}", out)
+            if "downsample_conv" in params[fb]:
+                out[f"{tb}.downsample.0.weight"] = _kernel_torch(
+                    params[fb]["downsample_conv"]["kernel"]
+                )
+                _export_bn(params[fb]["downsample_bn"],
+                           stats[fb]["downsample_bn"],
+                           f"{tb}.downsample.1", out)
+    return out
+
+
+def export_disp_checkpoint(variables: Tree, num_layers: int) -> Dict[str, Array]:
+    """DispNet variables -> reference DispResNet state_dict."""
+    out = export_resnet_encoder(
+        variables["params"]["encoder"], variables["batch_stats"]["encoder"],
+        num_layers, torch_prefix="encoder.encoder.",
+    )
+    dec_p = variables["params"]["decoder"]
+    for idx, name in enumerate(_DISP_DECODER_ORDER):
+        t = f"decoder.decoder.{idx}.conv.conv" if name.startswith("upconv") \
+            else f"decoder.decoder.{idx}.conv"
+        out[f"{t}.weight"] = _kernel_torch(dec_p[name]["conv"]["kernel"])
+        out[f"{t}.bias"] = np.asarray(dec_p[name]["conv"]["bias"])
+    return out
+
+
+def export_pose_checkpoint(variables: Tree, num_layers: int = 18) -> Dict[str, Array]:
+    """PoseNet variables -> reference PoseResNet state_dict."""
+    out = export_resnet_encoder(
+        variables["params"]["encoder"], variables["batch_stats"]["encoder"],
+        num_layers, torch_prefix="encoder.encoder.",
+    )
+    dec_p = variables["params"]["decoder"]
+    for idx, name in enumerate(["squeeze", "pose_0", "pose_1", "pose_2"]):
+        out[f"decoder.net.{idx}.weight"] = _kernel_torch(dec_p[name]["kernel"])
+        out[f"decoder.net.{idx}.bias"] = np.asarray(dec_p[name]["bias"])
+    return out
+
+
+def save_torch_checkpoint(state_dict: Dict[str, Array], path: str,
+                          epoch: int = 0) -> None:
+    """Write a reference-format ``{'epoch', 'state_dict'}`` .pth.tar."""
+    import torch
+
+    tensors = {k: torch.tensor(v) for k, v in state_dict.items()}
+    torch.save({"epoch": epoch, "state_dict": tensors}, path)

@@ -125,7 +125,9 @@ def test_inverse_warp2_identity():
         np.asarray(warped)[..., 0][interior], np.broadcast_to(want, (b, h, w))[interior],
         atol=1e-3,
     )
-    np.testing.assert_allclose(np.asarray(valid), 1.0)
+    # border pixels sit exactly at |x_norm| == 1; fp rounding may flip them
+    # either way, so only the interior must be valid.
+    np.testing.assert_allclose(np.asarray(valid)[interior], 1.0)
     np.testing.assert_allclose(np.asarray(proj_d)[interior], 3.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(comp_d), 3.0, rtol=1e-5)
 
