@@ -246,3 +246,25 @@ def save_torch_checkpoint(state_dict: Dict[str, Array], path: str,
 
     tensors = {k: torch.tensor(v) for k, v in state_dict.items()}
     torch.save({"epoch": epoch, "state_dict": tensors}, path)
+
+
+def graft_imagenet_encoder(
+    variables: Tree,
+    sd: Mapping[str, Array],
+    num_layers: int,
+    num_input_images: int = 1,
+) -> Tree:
+    """Replace the encoder of freshly-initialized net variables with
+    converted torchvision ImageNet weights (decoders keep their random
+    init), reproducing the reference's pretrained-encoder setup
+    (/root/reference/models/resnet_encoder.py:54-58)."""
+    enc_params, enc_stats = convert_imagenet_encoder(
+        sd, num_layers, num_input_images
+    )
+    variables = {
+        "params": dict(variables["params"]),
+        "batch_stats": dict(variables.get("batch_stats", {})),
+    }
+    variables["params"]["encoder"] = enc_params
+    variables["batch_stats"]["encoder"] = enc_stats
+    return variables

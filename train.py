@@ -199,25 +199,25 @@ def main(argv=None) -> int:
 
     disp_vars = pose_vars = None
     if args.with_pretrain and args.imagenet_weights_dir:
-        # ImageNet encoder init with random decoders: init nets, then graft
-        # the converted encoder weights in.
-        def graft(model, n_layers, n_images, dummy_init):
-            path = os.path.join(args.imagenet_weights_dir, f"resnet{n_layers}.pth")
-            sd = C.load_torch_state_dict(path)
-            enc_params, enc_stats = C.convert_imagenet_encoder(sd, n_layers, n_images)
-            dummy_init["params"]["encoder"] = enc_params
-            dummy_init["batch_stats"]["encoder"] = enc_stats
-            return dummy_init
-
+        # ImageNet encoder init with random decoders.
         rng = jax.random.PRNGKey(args.seed)
         dummy = np.zeros((1, 64, 64, 3), np.float32)
-        disp_vars = graft(
-            disp_model, args.resnet_layers, 1,
-            dict(disp_model.init(rng, dummy, train=True)),
+        disp_init = jax.jit(lambda k, x: disp_model.init(k, x, train=True))(
+            rng, dummy
         )
-        pose_vars = graft(
-            pose_model, 18, 2, dict(pose_model.init(rng, dummy, dummy, train=True)),
+        pose_init = jax.jit(lambda k, x: pose_model.init(k, x, x, train=True))(
+            rng, dummy
         )
+        disp_sd = C.load_torch_state_dict(
+            os.path.join(args.imagenet_weights_dir, f"resnet{args.resnet_layers}.pth")
+        )
+        pose_sd = C.load_torch_state_dict(
+            os.path.join(args.imagenet_weights_dir, "resnet18.pth")
+        )
+        disp_vars = C.graft_imagenet_encoder(
+            disp_init, disp_sd, args.resnet_layers, 1
+        )
+        pose_vars = C.graft_imagenet_encoder(pose_init, pose_sd, 18, 2)
 
     if args.pretrained_disp:
         print("=> using pre-trained weights for DispNet")
