@@ -117,29 +117,48 @@ def _total_loss(
     batch: Dict[str, jax.Array],
     cfg: LossConfig,
     train: bool,
+    remat: bool = False,
 ):
     tgt, refs, intrinsics = batch["tgt"], batch["refs"], batch["intrinsics"]
 
-    tgt_depth, ref_depths, disp_stats = compute_depth(
-        disp_model,
+    def depth_fn(disp_vars, tgt, refs):
+        return compute_depth(disp_model, disp_vars, tgt, refs, train)
+
+    def pose_fn(pose_vars, tgt, refs):
+        return compute_pose_with_inv(pose_model, pose_vars, tgt, refs, train)
+
+    def loss_fn(tgt, refs, intrinsics, tgt_depth, ref_depths, poses, poses_inv):
+        photo, geom = photo_and_geometry_loss(
+            tgt, refs, intrinsics, tgt_depth, ref_depths, poses, poses_inv,
+            num_scales=cfg.num_scales,
+            with_ssim=cfg.with_ssim,
+            with_mask=cfg.with_mask,
+            with_auto_mask=cfg.with_auto_mask,
+            padding_mode=cfg.padding_mode,
+        )
+        smooth = smooth_loss(tgt_depth, tgt, ref_depths, refs)
+        return photo, geom, smooth
+
+    if remat:
+        # Trade FLOPs for HBM: recompute the networks' activations and the
+        # full-resolution warp/SSIM intermediates in the backward pass.
+        # Enables ~4x larger per-chip batch at 832x256 (b32 OOMs without it).
+        depth_fn = jax.checkpoint(depth_fn)
+        pose_fn = jax.checkpoint(pose_fn)
+        loss_fn = jax.checkpoint(loss_fn)
+
+    tgt_depth, ref_depths, disp_stats = depth_fn(
         {"params": params["disp"], "batch_stats": batch_stats["disp"]},
-        tgt, refs, train,
+        tgt, refs,
     )
-    poses, poses_inv, pose_stats = compute_pose_with_inv(
-        pose_model,
+    poses, poses_inv, pose_stats = pose_fn(
         {"params": params["pose"], "batch_stats": batch_stats["pose"]},
-        tgt, refs, train,
+        tgt, refs,
     )
 
-    photo, geom = photo_and_geometry_loss(
-        tgt, refs, intrinsics, tgt_depth, ref_depths, poses, poses_inv,
-        num_scales=cfg.num_scales,
-        with_ssim=cfg.with_ssim,
-        with_mask=cfg.with_mask,
-        with_auto_mask=cfg.with_auto_mask,
-        padding_mode=cfg.padding_mode,
+    photo, geom, smooth = loss_fn(
+        tgt, refs, intrinsics, tgt_depth, ref_depths, poses, poses_inv
     )
-    smooth = smooth_loss(tgt_depth, tgt, ref_depths, refs)
 
     total = (
         cfg.photo_weight * photo
@@ -157,14 +176,20 @@ def _total_loss(
 
 
 def make_train_step(
-    disp_model, pose_model, tx: optax.GradientTransformation, cfg: LossConfig
+    disp_model, pose_model, tx: optax.GradientTransformation, cfg: LossConfig,
+    remat: bool = False,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict]]:
-    """Build the jitted train step. Donates the state for in-place updates."""
+    """Build the jitted train step. Donates the state for in-place updates.
+
+    ``remat=True`` rematerializes network activations and loss intermediates
+    in the backward pass — slower per step but fits ~4x larger batches.
+    """
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         grad_fn = jax.value_and_grad(
             lambda p: _total_loss(
-                disp_model, pose_model, p, state.batch_stats, batch, cfg, True
+                disp_model, pose_model, p, state.batch_stats, batch, cfg,
+                True, remat=remat,
             ),
             has_aux=True,
         )

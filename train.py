@@ -86,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conv compute precision (params, BN stats, heads, "
                    "geometry and losses always fp32); bf16 is ~5x faster "
                    "on TPU")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations in the backward pass; "
+                   "slower per step but fits ~4x larger per-chip batches")
     return p
 
 
@@ -246,7 +249,8 @@ def main(argv=None) -> int:
         with_auto_mask=bool(args.with_auto_mask),
         padding_mode=args.padding_mode,
     )
-    train_step = make_train_step(disp_model, pose_model, tx, cfg)
+    train_step = make_train_step(disp_model, pose_model, tx, cfg,
+                                 remat=args.remat)
     eval_step = make_eval_step(disp_model, pose_model, cfg)
     eval_depth_step = make_eval_depth_step(disp_model, args.dataset)
 
