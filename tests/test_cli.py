@@ -24,6 +24,10 @@ def _run(cmd, **kw):
         ),
         JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
     )
+    # Prevent the environment's sitecustomize from registering the TPU
+    # tunnel in every subprocess — concurrent registrations contend on the
+    # relay and hang CPU-only runs for minutes.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     res = subprocess.run(
         cmd, capture_output=True, text=True, env=env, cwd=REPO, **kw
     )

@@ -110,6 +110,7 @@ def test_prepare_cli_end_to_end(kitti_raw_root, tmp_path):
         "--with-depth", "--with-pose",
     ]
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # avoid TPU-tunnel registration
     res = subprocess.run(cmd, capture_output=True, text=True, env=env,
                          cwd=os.path.dirname(os.path.dirname(__file__)))
     assert res.returncode == 0, res.stderr
