@@ -191,7 +191,14 @@ def main(argv=None) -> int:
     epoch_size = args.epoch_size or len(train_loader)
 
     # ---- models / state ----------------------------------------------------
-    mesh = make_mesh()
+    # the data mesh must evenly divide the global batch; use the largest
+    # divisor of batch_size that fits the available devices
+    n_dev = len(jax.devices())
+    n_use = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+    if n_use != n_dev:
+        print(f"=> using {n_use}/{n_dev} devices (batch {args.batch_size} "
+              "must divide evenly)")
+    mesh = make_mesh(jax.devices()[:n_use])
     print(f"=> mesh: {mesh}")
 
     import jax.numpy as jnp
