@@ -13,6 +13,7 @@ from .checkpoint import (
     restore_train_state,
     load_model_variables,
     model_variables,
+    OrbaxCheckpointManager,
 )
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "restore_train_state",
     "load_model_variables",
     "model_variables",
+    "OrbaxCheckpointManager",
 ]

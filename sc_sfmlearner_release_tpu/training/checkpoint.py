@@ -84,3 +84,47 @@ def load_model_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
         )
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
+
+
+class OrbaxCheckpointManager:
+    """Orbax-backed checkpointing: versioned step directories, retention,
+    and multi-host-safe writes — the production-scale alternative to the
+    msgpack files (which remain the default for portability).
+
+    Usage:
+      mgr = OrbaxCheckpointManager(dir, max_to_keep=5)
+      mgr.save(step, state)
+      state = mgr.restore(template)          # latest
+      state = mgr.restore(template, step=3)  # specific step
+    """
+
+    def __init__(self, directory: str, max_to_keep: Optional[int] = 5):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, step: int, state: TrainState) -> None:
+        self.manager.save(
+            step, args=self._ocp.args.StandardSave(_to_host(state))
+        )
+        self.manager.wait_until_finished()
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+        step = self.manager.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        return self.manager.restore(
+            step, args=self._ocp.args.StandardRestore(_to_host(template))
+        )
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def close(self) -> None:
+        self.manager.close()

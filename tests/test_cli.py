@@ -249,7 +249,6 @@ def test_train_cli_one_epoch(train_root, tmp_path):
         timeout=3000,
     )
     assert "Avg" in res.stdout
-    ckpts = list((tmp_path / "nonexistent").glob("*")) or None
     # checkpoints land under REPO/checkpoints/cli_smoke/<ts>/
     import glob as g
 

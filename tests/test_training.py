@@ -154,3 +154,26 @@ def test_checkpoint_roundtrip():
         # Restored state continues training.
         restored, metrics = step(restored, _synthetic_batch())
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_orbax_checkpoint_roundtrip():
+    from sc_sfmlearner_release_tpu.training import OrbaxCheckpointManager
+
+    disp, pose = _models()
+    tx = make_optimizer(lr=1e-3)
+    state = _state(tx)
+
+    with tempfile.TemporaryDirectory() as d:
+        mgr = OrbaxCheckpointManager(d, max_to_keep=2)
+        mgr.save(0, state)
+        mgr.save(1, state.replace(step=state.step + 1))
+        assert mgr.latest_step() == 1
+
+        restored = mgr.restore(_state(tx))
+        assert int(restored.step) == 1
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr.close()
