@@ -287,7 +287,9 @@ def main(argv=None) -> int:
 
         # ---- train ----------------------------------------------------
         losses = AverageMeter(precision=4)
-        full_rows = []
+        # device-side metric futures, synced once at epoch end (per-step
+        # .item() syncs are a reference-side slowdown we avoid)
+        pending = []
         t_data, t_step = AverageMeter(), AverageMeter()
         end = time.time()
         i = -1
@@ -303,12 +305,10 @@ def main(argv=None) -> int:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
 
+            pending.append(metrics)
             if n_iter % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 losses.update(m["loss"], args.batch_size)
-                full_rows.append(
-                    [m["loss"], m["photo_loss"], m["smooth_loss"], m["geometry_loss"]]
-                )
                 if tb_writer is not None:
                     tb_writer.add_scalar("photometric_error", m["photo_loss"], n_iter)
                     tb_writer.add_scalar("disparity_smoothness_loss", m["smooth_loss"], n_iter)
@@ -321,7 +321,16 @@ def main(argv=None) -> int:
             end = time.time()
             n_iter += 1
         logger.train_update(min(i + 1, epoch_size), "")
-        train_loss = losses.avg[0]
+
+        # one sync for the whole epoch's metrics
+        full_rows = [
+            [float(m["loss"]), float(m["photo_loss"]),
+             float(m["smooth_loss"]), float(m["geometry_loss"])]
+            for m in pending
+        ]
+        train_loss = (
+            float(np.mean([r[0] for r in full_rows])) if full_rows else 0.0
+        )
         logger.write(f" * Avg Loss : {train_loss:.3f}")
 
         with open(os.path.join(save_path, args.log_full), "a", newline="") as f:
