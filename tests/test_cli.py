@@ -254,3 +254,23 @@ def test_train_cli_one_epoch(train_root, tmp_path):
 
     found = g.glob(os.path.join(REPO, "checkpoints", "cli_smoke", "*", "dispnet_checkpoint.msgpack"))
     assert found, "checkpoint not written"
+
+    # the trained checkpoint feeds straight into the inference CLI
+    # (test_disp globs *.png; our scenes are .jpg — pass a list file)
+    out = tmp_path / "trained_preds"
+    list_file = tmp_path / "files.txt"
+    jpgs = sorted(g.glob(os.path.join(train_root, "scene_v", "*.jpg")))[:3]
+    list_file.write_text("\n".join(jpgs) + "\n")
+    _run(
+        [
+            sys.executable, "test_disp.py",
+            "--pretrained-dispnet", sorted(found)[-1],
+            "--img-height", str(H), "--img-width", str(W),
+            "--dataset-list", str(list_file),
+            "--output-dir", str(out),
+            "--resnet-layers", "18",
+            "--batch-size", "2",
+        ]
+    )
+    preds = np.load(out / "predictions.npy")
+    assert preds.shape == (3, H, W) and np.isfinite(preds).all()

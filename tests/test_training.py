@@ -177,3 +177,21 @@ def test_orbax_checkpoint_roundtrip():
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         mgr.close()
+
+
+def test_train_step_sequence_length_5():
+    """4 reference frames (sequence-length 5) flow through the fused step."""
+    disp, pose = _models()
+    tx = make_optimizer(lr=1e-3)
+    state = _state(tx)
+    step = make_train_step(disp, pose, tx, LossConfig())
+
+    rng = np.random.RandomState(9)
+    k = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+    batch = {
+        "tgt": jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32)),
+        "refs": jnp.asarray(rng.rand(B, 4, H, W, 3).astype(np.float32)),
+        "intrinsics": jnp.asarray(np.broadcast_to(k, (B, 3, 3))),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
