@@ -286,6 +286,7 @@ def main(argv=None) -> int:
         train_loader.set_epoch(epoch)
 
         # ---- train ----------------------------------------------------
+        profiling = False
         losses = AverageMeter(precision=4)
         # device-side metric futures, synced once at epoch end (per-step
         # .item() syncs are a reference-side slowdown we avoid)
@@ -298,12 +299,14 @@ def main(argv=None) -> int:
                 break
             t_data.update(time.time() - end)
 
-            if args.profile_dir and n_iter == 10:
+            if args.profile_dir and n_iter == 2:  # past the compile step
                 jax.profiler.start_trace(args.profile_dir)
+                profiling = True
             state, metrics = train_step(state, batch)
-            if args.profile_dir and n_iter == 13:
+            if args.profile_dir and profiling and n_iter == 5:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
+                profiling = False
 
             pending.append(metrics)
             if n_iter % args.print_freq == 0:
@@ -320,6 +323,9 @@ def main(argv=None) -> int:
             t_step.update(time.time() - end)
             end = time.time()
             n_iter += 1
+        if profiling:  # epoch ended inside the trace window
+            jax.profiler.stop_trace()
+            profiling = False
         logger.train_update(min(i + 1, epoch_size), "")
 
         # one sync for the whole epoch's metrics
