@@ -35,6 +35,10 @@ class BatchLoader:
         is reported in ``batch["_n_valid"]`` (validation).
       seed: base seed; epoch ``e`` uses ``seed + e``.
       prefetch: number of batches to stage ahead.
+      process_index / process_count: multi-host sharding — each process
+        loads only its ``batch_size / process_count`` slice of every global
+        batch (the slice ``jax.make_array_from_process_local_data`` expects).
+        Pass ``jax.process_index()`` / ``jax.process_count()`` on pods.
     """
 
     def __init__(
@@ -46,7 +50,14 @@ class BatchLoader:
         drop_last: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{process_count} processes"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -54,6 +65,8 @@ class BatchLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -87,6 +100,8 @@ class BatchLoader:
             )
             return self.dataset.load(int(i), rng)
 
+        local_bs = bs // self.process_count
+
         def producer() -> None:
             with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(n_batches):
@@ -98,6 +113,11 @@ class BatchLoader:
                         chunk = np.concatenate(
                             [chunk, np.repeat(chunk[-1:], bs - n_valid)]
                         )
+                    # this process's contiguous slice of the global batch
+                    chunk = chunk[
+                        self.process_index * local_bs
+                        : (self.process_index + 1) * local_bs
+                    ]
                     samples = list(pool.map(load_one, chunk))
                     batch = {
                         k: np.stack([s[k] for s in samples]) for k in samples[0]

@@ -120,3 +120,22 @@ def test_batch_loader_pads_validation(scene_root):
     assert int(batches[0]["_n_valid"]) == 3
     assert int(batches[1]["_n_valid"]) == 1
     assert batches[1]["img"].shape[0] == 3  # padded to full shape
+
+
+def test_batch_loader_process_sharding(scene_root):
+    """Two 'processes' partition every global batch without overlap and in
+    global-batch order."""
+    ds = SequenceSet(scene_root, train=True, transform=transforms.valid_transform())
+    full = list(BatchLoader(ds, batch_size=4, shuffle=False, drop_last=True))
+    p0 = list(BatchLoader(ds, batch_size=4, shuffle=False, drop_last=True,
+                          process_index=0, process_count=2))
+    p1 = list(BatchLoader(ds, batch_size=4, shuffle=False, drop_last=True,
+                          process_index=1, process_count=2))
+    assert len(full) == len(p0) == len(p1) == 1
+    np.testing.assert_array_equal(p0[0]["tgt"], full[0]["tgt"][:2])
+    np.testing.assert_array_equal(p1[0]["tgt"], full[0]["tgt"][2:])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BatchLoader(ds, batch_size=3, process_count=2)

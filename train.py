@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations in the backward pass; "
                    "slower per step but fits ~4x larger per-chip batches")
+    p.add_argument("--checkpoint-freq", type=int, default=0,
+                   help="also save the full train state every N steps "
+                   "(preemption resilience; 0 = per-epoch only)")
     return p
 
 
@@ -309,6 +312,8 @@ def main(argv=None) -> int:
                 profiling = False
 
             pending.append(metrics)
+            if args.checkpoint_freq and n_iter and n_iter % args.checkpoint_freq == 0:
+                save_checkpoint(save_path, state, is_best=False, epoch=epoch)
             if n_iter % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 losses.update(m["loss"], args.batch_size)
