@@ -46,7 +46,11 @@ def save_checkpoint(
     state: TrainState,
     is_best: bool,
     epoch: Optional[int] = None,
+    full_state: bool = True,
 ) -> None:
+    """Write per-net weight files (+ best copies); ``full_state`` also
+    writes the complete TrainState (params + BN + optimizer + step + RNG)
+    for exact resume — ~3x the bytes, so callers may thin it out."""
     os.makedirs(save_path, exist_ok=True)
     state = _to_host(state)
 
@@ -59,8 +63,9 @@ def save_checkpoint(
                 path, os.path.join(save_path, f"{prefix}_model_best.msgpack")
             )
 
-    with open(os.path.join(save_path, "train_state.msgpack"), "wb") as f:
-        f.write(flax.serialization.to_bytes(state))
+    if full_state:
+        with open(os.path.join(save_path, "train_state.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(state))
     meta = {"step": int(state.step), "epoch": epoch}
     with open(os.path.join(save_path, "meta.json"), "w") as f:
         json.dump(meta, f)

@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-freq", type=int, default=0,
                    help="also save the full train state every N steps "
                    "(preemption resilience; 0 = per-epoch only)")
+    p.add_argument("--full-state-freq", type=int, default=1,
+                   help="write the full resume state every N epochs (model "
+                   "weights are written every epoch regardless); the full "
+                   "state is ~3x the bytes")
     return p
 
 
@@ -371,7 +375,11 @@ def main(argv=None) -> int:
             best_error = decisive_error
         is_best = decisive_error <= best_error
         best_error = min(best_error, decisive_error)
-        save_checkpoint(save_path, state, is_best, epoch=epoch + 1)
+        save_checkpoint(
+            save_path, state, is_best, epoch=epoch + 1,
+            full_state=(epoch + 1) % max(args.full_state_freq, 1) == 0
+            or epoch + 1 == args.epochs,
+        )
 
         with open(os.path.join(save_path, args.log_summary), "a", newline="") as f:
             csv.writer(f, delimiter="\t").writerow([train_loss, decisive_error])
