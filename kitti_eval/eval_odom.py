@@ -6,8 +6,10 @@ KITTI-format trajectory files in --result against GT in --gt_dir with the
 devkit protocol (per-length t/r errors, ATE, RPE), writing result.txt,
 errors/ and PDF plots under the result directory.
 
-GT poses for sequences 00-10 come with the KITTI odometry devkit; pass their
-location with --gt_dir.
+GT poses for sequences 00-10 ship in-repo under kitti_eval/gt_poses/ (the
+same public-devkit data the reference ships) and are the --gt_dir default,
+matching the reference's hardcoded ``gt_dir = "./kitti_eval/gt_poses/"``
+(/root/reference/kitti_eval/eval_odom.py:22); pass --gt_dir to override.
 """
 
 from __future__ import annotations
@@ -23,8 +25,12 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="KITTI evaluation")
     parser.add_argument("--result", type=str, required=True,
                         help="Result directory containing NN.txt trajectories")
-    parser.add_argument("--gt_dir", type=str, required=True,
-                        help="Directory of ground-truth poses NN.txt")
+    parser.add_argument(
+        "--gt_dir", type=str,
+        default=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "gt_poses"),
+        help="Directory of ground-truth poses NN.txt "
+             "(default: the in-repo kitti_eval/gt_poses)")
     parser.add_argument("--align", type=str, default=None,
                         choices=["scale", "scale_7dof", "7dof", "6dof"],
                         help="alignment type")

@@ -11,6 +11,7 @@ from .geometry import (
     inverse_warp2,
 )
 from .grid_sample import grid_sample
+from .warp_mxu import grid_sample_mxu
 from .ssim import ssim
 from .losses import (
     photo_and_geometry_loss,
@@ -32,6 +33,7 @@ __all__ = [
     "inverse_warp",
     "inverse_warp2",
     "grid_sample",
+    "grid_sample_mxu",
     "ssim",
     "photo_and_geometry_loss",
     "pairwise_loss",

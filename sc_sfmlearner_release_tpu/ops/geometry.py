@@ -203,6 +203,7 @@ def inverse_warp2(
     pose: jax.Array,
     intrinsics: jax.Array,
     padding_mode: str = "zeros",
+    sampler: str = "gather",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Warp a source view (image + depth) into the target frame.
 
@@ -218,6 +219,13 @@ def inverse_warp2(
       ref_depth: source depth ``[B, H, W, 1]``.
       pose: ``[B, 6]`` 6-DoF target->source (euler).
       intrinsics: ``[B, 3, 3]``.
+      sampler: ``"gather"`` (default) uses the torch-exact gather
+        formulation (golden-tested vs torch CPU) — measured fastest on TPU
+        v5e (2.45 ms/step for the full b4 train step; XLA lowers these
+        gathers well). ``"mxu"`` uses the gather-free one-hot-contraction
+        formulation (ops/warp_mxu.py), kept as a tested alternative; the
+        A/B on v5e at [4, 256, 832] measured it ~440x slower end-to-end,
+        so it is not the default.
 
     Returns:
       (projected_img ``[B, H, W, 3]``,
@@ -226,14 +234,36 @@ def inverse_warp2(
        computed_depth ``[B, H, W, 1]`` depth of transformed target points).
     """
     from .grid_sample import grid_sample
+    from .warp_mxu import grid_sample_mxu
 
     cam_coords = pixel2cam(depth[..., 0], jnp.linalg.inv(intrinsics))
     pose_mat = pose_vec2mat(pose)
     proj = jnp.matmul(intrinsics, pose_mat, precision=_HIGHEST)
     coords, computed_depth = cam2pixel(cam_coords, proj, padding_mode)
 
-    projected_img = grid_sample(img, coords, padding_mode=padding_mode)
-    projected_depth = grid_sample(ref_depth, coords, padding_mode=padding_mode)
+    if sampler == "mxu":
+        # One packed 5-channel call: RGB as plain values (bf16 rounding,
+        # ~4e-3 on [0,1] images) plus the source depth split into bf16 hi/lo
+        # channels so its sampled value recombines to fp32 accuracy
+        # (sampling is linear) — the geometry-consistency loss stays fp32.
+        from .warp_mxu import _split_hi_lo
+
+        depth_hi_lo = _split_hi_lo(ref_depth.astype(jnp.float32))
+        packed = jnp.concatenate(
+            [img.astype(jnp.float32), depth_hi_lo], axis=-1
+        )
+        sampled = grid_sample_mxu(
+            packed, coords, padding_mode=padding_mode, precision="bf16"
+        )
+        projected_img = sampled[..., :3].astype(img.dtype)
+        projected_depth = (sampled[..., 3:4] + sampled[..., 4:5]).astype(
+            ref_depth.dtype
+        )
+    elif sampler == "gather":
+        projected_img = grid_sample(img, coords, padding_mode=padding_mode)
+        projected_depth = grid_sample(ref_depth, coords, padding_mode=padding_mode)
+    else:
+        raise ValueError(f"unknown sampler: {sampler}")
 
     valid = (jnp.max(jnp.abs(coords), axis=-1) <= 1.0).astype(img.dtype)
     return projected_img, valid[..., None], projected_depth, computed_depth

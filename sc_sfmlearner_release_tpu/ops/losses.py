@@ -68,6 +68,7 @@ def pairwise_loss(
     with_mask: bool = True,
     with_auto_mask: bool = False,
     padding_mode: str = "zeros",
+    sampler: str = "gather",
 ) -> Tuple[jax.Array, jax.Array]:
     """Photometric + geometry loss for one directed (target, source) pair.
 
@@ -75,7 +76,7 @@ def pairwise_loss(
     All arrays NHWC; depths ``[B, H, W, 1]``.
     """
     warped, valid, projected_depth, computed_depth = inverse_warp2(
-        ref_img, tgt_depth, ref_depth, pose, intrinsics, padding_mode
+        ref_img, tgt_depth, ref_depth, pose, intrinsics, padding_mode, sampler
     )
 
     diff_img = jnp.clip(jnp.abs(tgt_img - warped), 0.0, 1.0)
@@ -124,6 +125,7 @@ def photo_and_geometry_loss(
     with_mask: bool = True,
     with_auto_mask: bool = False,
     padding_mode: str = "zeros",
+    sampler: str = "gather",
 ) -> Tuple[jax.Array, jax.Array]:
     """Bidirectional photometric + geometry-consistency loss over a snippet.
 
@@ -177,7 +179,7 @@ def photo_and_geometry_loss(
         tgt_d_f, src_d_f = flatten_pairs(tgt_d, ref_d)
 
         warped, valid, projected_depth, computed_depth = inverse_warp2(
-            src_imgs_f, tgt_d_f, src_d_f, poses_f, intr_f, padding_mode
+            src_imgs_f, tgt_d_f, src_d_f, poses_f, intr_f, padding_mode, sampler
         )
 
         diff_img = jnp.clip(jnp.abs(tgt_imgs_f - warped), 0.0, 1.0)

@@ -42,6 +42,10 @@ class LossConfig:
     with_mask: bool = True
     with_auto_mask: bool = False
     padding_mode: str = "zeros"
+    # "gather": torch-exact gather formulation — measured fastest on TPU
+    # v5e (the A/B vs the one-hot-contraction "mxu" path showed gather
+    # ~440x faster end-to-end at [4, 256, 832]). "mxu": ops/warp_mxu.py.
+    sampler: str = "gather"
 
 
 def _frames_to_batch(tgt: jax.Array, refs: jax.Array) -> jax.Array:
@@ -135,6 +139,7 @@ def _total_loss(
             with_mask=cfg.with_mask,
             with_auto_mask=cfg.with_auto_mask,
             padding_mode=cfg.padding_mode,
+            sampler=cfg.sampler,
         )
         smooth = smooth_loss(tgt_depth, tgt, ref_depths, refs)
         return photo, geom, smooth

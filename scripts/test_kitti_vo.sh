@@ -1,6 +1,6 @@
 # Full-trajectory VO on seqs 09/10 + KITTI odometry evaluation (7-DoF align).
 DATASET_DIR=${DATASET_DIR:-/data/kitti_odom_test/sequences/}
-GT_DIR=${GT_DIR:-/data/kitti_odom_test/poses}
+GT_DIR=${GT_DIR:-kitti_eval/gt_poses}   # GT trajectories for seqs 00-10 ship in-repo
 OUTPUT_DIR=${OUTPUT_DIR:-vo_results/}
 POSE_NET=${POSE_NET:-checkpoints/resnet50_pose_256/exp_pose_model_best.msgpack}
 

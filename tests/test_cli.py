@@ -233,6 +233,55 @@ def train_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.fixture(scope="module")
+def pair_root(tmp_path_factory):
+    """NYU-style pair-folder dataset: consecutive jpg pairs, per-pair
+    intrinsics txt (reference: datasets/pair_folders.py)."""
+    import imageio.v2 as imageio
+
+    root = tmp_path_factory.mktemp("pair_data")
+    rng = np.random.RandomState(7)
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]])
+    for scene in ["scene_t", "scene_v"]:
+        d = root / scene
+        d.mkdir()
+        for i in range(6):
+            imageio.imwrite(
+                d / f"{i:07d}.jpg", (rng.rand(H, W, 3) * 255).astype(np.uint8)
+            )
+        for p in range(3):
+            np.savetxt(d / f"{p:07d}_cam.txt", K)
+    (root / "train.txt").write_text("scene_t\n")
+    (root / "val.txt").write_text("scene_v\n")
+    return str(root)
+
+
+@pytest.mark.slow
+def test_train_cli_pair_folder(pair_root):
+    """NYU-style training flow: --folder-type pair, photometric validation
+    (no GT), as scripts/train_nyu.sh does (reference scripts/train_nyu.sh)."""
+    res = _run(
+        [
+            sys.executable, "train.py", pair_root,
+            "--name", "cli_pair_smoke",
+            "--folder-type", "pair",
+            "--dataset", "nyu",
+            "--epochs", "1", "--epoch-size", "2",
+            "-b", "2", "-j", "2",
+            "--with-pretrain", "0",
+            "--no-tensorboard",
+            "--val-batches", "1",
+        ],
+        timeout=3000,
+    )
+    assert "Avg" in res.stdout
+    import glob as g
+
+    found = g.glob(os.path.join(
+        REPO, "checkpoints", "cli_pair_smoke", "*", "exp_pose_checkpoint.msgpack"))
+    assert found, "checkpoint not written"
+
+
 @pytest.mark.slow
 def test_train_cli_one_epoch(train_root, tmp_path):
     res = _run(

@@ -130,6 +130,27 @@ def test_segment_errors_cover_lengths(tmp_path):
     np.testing.assert_allclose(seg[100], [0.0, 0.0], atol=1e-12)
 
 
+def test_shipped_gt_poses_load_and_self_eval(tmp_path):
+    """The in-repo kitti_eval/gt_poses assets (seqs 00-10, same data the
+    reference ships) load and evaluate to zero error against themselves."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gt_dir = os.path.join(repo, "kitti_eval", "gt_poses")
+    for seq in range(11):
+        assert os.path.exists(os.path.join(gt_dir, f"{seq:02d}.txt"))
+
+    poses = load_poses_txt(os.path.join(gt_dir, "09.txt"))
+    assert len(poses) == 1591  # known length of seq 09
+
+    res_dir = tmp_path / "res"
+    res_dir.mkdir()
+    rows = np.stack([poses[i][:3].reshape(-1) for i in sorted(poses)])
+    np.savetxt(res_dir / "09.txt", rows, fmt="%1.8e")
+    ev = KittiOdomEvaluator()
+    results = ev.eval(gt_dir, str(res_dir), alignment="7dof", seqs=[9], plot=False)
+    assert results["09"]["t_err_pct"] < 1e-6
+    assert results["09"]["ate_m"] < 1e-6
+
+
 def test_pose_error_snippet_functions():
     from test_pose import compute_pose_error
 

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint dir to resume full train state from")
     p.add_argument("--name", required=True)
     p.add_argument("--padding-mode", choices=["zeros", "border"], default="zeros")
+    p.add_argument("--sampler", choices=["gather", "mxu"], default="gather",
+                   help="warp sampler: 'gather' = torch-exact gathers "
+                   "(fastest on TPU v5e), 'mxu' = gather-free one-hot "
+                   "contraction (tested alternative, slower)")
     p.add_argument("--with-gt", action="store_true")
     p.add_argument("--skip-frames", type=int, default=1)
     p.add_argument("--val-batches", type=int, default=0,
@@ -262,6 +266,7 @@ def main(argv=None) -> int:
         with_mask=bool(args.with_mask),
         with_auto_mask=bool(args.with_auto_mask),
         padding_mode=args.padding_mode,
+        sampler=args.sampler,
     )
     train_step = make_train_step(disp_model, pose_model, tx, cfg,
                                  remat=args.remat)
