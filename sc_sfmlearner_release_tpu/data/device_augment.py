@@ -1,0 +1,199 @@
+"""Device-side training augmentation (jitted, fused into the train step).
+
+TPU-native replacement for the host-side NumPy/PIL augmentations in
+``data/transforms.py`` (behavioral target: /root/reference/
+custom_transforms.py:46-84 — snippet-coherent random horizontal flip and
+random scale-crop, both with matching pinhole-intrinsics updates, followed
+by the reference's Normalize).
+
+Why on device: the host path decodes JPEGs *and* runs a PIL resize per frame
+per sample; at TPU step rates (>1500 snippets/s on v5e) a single host core
+cannot keep up. Moving the augmentation into the jitted step leaves the host
+only decode + stack, and XLA fuses the normalize into the first convolution.
+
+Formulation. Flip, zoom and crop compose into ONE affine map from output
+pixel centers to input pixel centers, so the whole augmentation is a single
+bilinear resample per frame (``ops.grid_sample``, border padding — identical
+edge behavior to PIL's clamped bilinear filter):
+
+    zoom to (floor(H*sy), floor(W*sx)), crop at integer (ox, oy)
+      =>  in_x = (out_x + ox + 0.5) / sx_eff - 0.5,   sx_eff = floor(W*sx)/W
+    flip folds in as  in_x -> (W-1) - in_x
+
+using the pixel-center convention of PIL/``align_corners=False``. Intrinsics
+updates mirror the host path exactly (flip: cx -> W - cx,
+custom_transforms.py:55; zoom: row0 *= sx, row1 *= sy; crop: cx -= ox,
+cy -= oy, custom_transforms.py:73-84) except that the zoom uses the
+*effective* scale floor(W*sx)/W — the scale the resampled image actually
+has (the reference applies the continuous draw to the intrinsics but the
+floored size to the image; a sub-0.5-pixel inconsistency we do not copy).
+
+Randomness: one draw vector per *sample* (all frames of a snippet share it),
+keyed by ``jax.random`` — deterministic for a given (seed, step) regardless
+of device count or sharding, since the program is written in global-batch
+view and jit partitions it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid_sample import grid_sample
+from .transforms import IMAGENET_MEAN, IMAGENET_STD
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    max_scale: float = 1.15
+    flip: bool = True
+    scale_crop: bool = True
+    mean: Tuple[float, float, float] = IMAGENET_MEAN
+    std: Tuple[float, float, float] = IMAGENET_STD
+
+
+def sample_draws(key: jax.Array, batch_size: int, cfg: AugmentConfig) -> Dict:
+    """Per-sample augmentation draws, mirroring the host transforms' RNG
+    protocol (flip ~ Bernoulli(0.5); sx, sy ~ U(1, max_scale); integer
+    offsets uniform over the valid crop range)."""
+    k_flip, k_scale, k_off = jax.random.split(key, 3)
+    flip = jax.random.bernoulli(k_flip, 0.5, (batch_size,))
+    if not cfg.flip:
+        flip = jnp.zeros((batch_size,), bool)
+    scales = jax.random.uniform(
+        k_scale, (batch_size, 2), minval=1.0, maxval=cfg.max_scale
+    )
+    if not cfg.scale_crop:
+        scales = jnp.ones((batch_size, 2))
+    # Continuous U[0,1) draws; turned into integer offsets once the
+    # (data-dependent) valid range is known in _augment_with_draws.
+    offsets = jax.random.uniform(k_off, (batch_size, 2))
+    return {"flip": flip, "scales": scales, "offsets01": offsets}
+
+
+def _affine_coords(
+    draws: Dict, h: int, w: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Resolve draws into per-sample effective scales + integer offsets and
+    the normalized sampling grid ``[B, H, W, 2]`` for grid_sample."""
+    sx, sy = draws["scales"][:, 0], draws["scales"][:, 1]
+    # Integer zoomed size, as the host path's PIL resize produces.
+    scaled_w = jnp.floor(w * sx)
+    scaled_h = jnp.floor(h * sy)
+    sx_eff = scaled_w / w
+    sy_eff = scaled_h / h
+    # Integer crop offset in [0, scaled - in] (host: rng.integers).
+    ox = jnp.floor(draws["offsets01"][:, 0] * (scaled_w - w + 1.0))
+    oy = jnp.floor(draws["offsets01"][:, 1] * (scaled_h - h + 1.0))
+
+    out_x = jnp.arange(w, dtype=jnp.float32)
+    out_y = jnp.arange(h, dtype=jnp.float32)
+    # Pixel-center affine map, per sample: [B, W] and [B, H].
+    in_x = (out_x[None, :] + ox[:, None] + 0.5) / sx_eff[:, None] - 0.5
+    in_y = (out_y[None, :] + oy[:, None] + 0.5) / sy_eff[:, None] - 0.5
+    in_x = jnp.where(draws["flip"][:, None], (w - 1.0) - in_x, in_x)
+
+    # Normalize for grid_sample (align_corners=False): px -> (2*px+1)/S - 1.
+    nx = (2.0 * in_x + 1.0) / w - 1.0
+    ny = (2.0 * in_y + 1.0) / h - 1.0
+    coords = jnp.stack(
+        [
+            jnp.broadcast_to(nx[:, None, :], (nx.shape[0], h, w)),
+            jnp.broadcast_to(ny[:, :, None], (ny.shape[0], h, w)),
+        ],
+        axis=-1,
+    )
+    return coords, sx_eff, sy_eff, ox, oy, draws["flip"]
+
+
+def _update_intrinsics(
+    intrinsics: jax.Array,
+    w: int,
+    sx_eff: jax.Array,
+    sy_eff: jax.Array,
+    ox: jax.Array,
+    oy: jax.Array,
+    flip: jax.Array,
+) -> jax.Array:
+    """Host-path intrinsics updates, in host-path order (flip, then zoom,
+    then crop)."""
+    fx, fy = intrinsics[:, 0, 0], intrinsics[:, 1, 1]
+    cx, cy = intrinsics[:, 0, 2], intrinsics[:, 1, 2]
+    cx = jnp.where(flip, w - cx, cx)
+    fx = fx * sx_eff
+    cx = cx * sx_eff - ox
+    fy = fy * sy_eff
+    cy = cy * sy_eff - oy
+    zeros = jnp.zeros_like(fx)
+    ones = jnp.ones_like(fx)
+    row0 = jnp.stack([fx, zeros, cx], axis=-1)
+    row1 = jnp.stack([zeros, fy, cy], axis=-1)
+    row2 = jnp.stack([zeros, zeros, ones], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=1)
+
+
+def augment_with_draws(
+    batch: Dict[str, jax.Array], draws: Dict, cfg: AugmentConfig
+) -> Dict[str, jax.Array]:
+    """Apply resolved draws to a raw [0,1] batch; returns a normalized batch.
+
+    Split from the keyed entry point so tests can pin draws and check the
+    affine/intrinsics math against the host transforms.
+    """
+    tgt, refs, intrinsics = batch["tgt"], batch["refs"], batch["intrinsics"]
+    b, h, w, _ = tgt.shape
+    n = refs.shape[1]
+
+    coords, sx_eff, sy_eff, ox, oy, flip = _affine_coords(draws, h, w)
+
+    # One resample over all 1+N frames: stack into the batch axis with the
+    # snippet's shared coords repeated per frame.
+    frames = jnp.concatenate([tgt[:, None], refs], axis=1)  # [B, 1+N, H, W, 3]
+    flat = frames.reshape((b * (1 + n), h, w, 3))
+    coords_rep = jnp.repeat(coords, 1 + n, axis=0)
+    sampled = grid_sample(flat, coords_rep, padding_mode="border")
+    sampled = sampled.reshape((b, 1 + n, h, w, 3))
+
+    mean = jnp.asarray(cfg.mean, sampled.dtype)
+    std = jnp.asarray(cfg.std, sampled.dtype)
+    sampled = (sampled - mean) / std
+
+    out = dict(batch)
+    out["tgt"] = sampled[:, 0]
+    out["refs"] = sampled[:, 1:]
+    out["intrinsics"] = _update_intrinsics(
+        intrinsics, w, sx_eff, sy_eff, ox, oy, flip
+    )
+    return out
+
+
+def make_device_augment(cfg: AugmentConfig):
+    """Returns ``augment(key, batch) -> batch`` for raw [0,1] train batches.
+
+    Meant to be called INSIDE the jitted train step (key folded from the
+    step counter) so the resample + normalize fuse with the forward pass.
+    """
+
+    def augment(key: jax.Array, batch: Dict[str, jax.Array]) -> Dict:
+        draws = sample_draws(key, batch["tgt"].shape[0], cfg)
+        return augment_with_draws(batch, draws, cfg)
+
+    return augment
+
+
+def normalize_batch(
+    batch: Dict[str, jax.Array],
+    mean: Tuple[float, float, float] = IMAGENET_MEAN,
+    std: Tuple[float, float, float] = IMAGENET_STD,
+) -> Dict[str, jax.Array]:
+    """Normalize-only device path (validation under --device-augment)."""
+    out = dict(batch)
+    for k in ("tgt", "refs", "img"):
+        if k in out:
+            m = jnp.asarray(mean, out[k].dtype)
+            s = jnp.asarray(std, out[k].dtype)
+            out[k] = (out[k] - m) / s
+    return out

@@ -141,3 +141,10 @@ def train_transform(max_scale: float = 1.15) -> Compose:
 
 def valid_transform() -> Compose:
     return Compose([ToFloat(), Normalize()])
+
+
+def raw_train_transform() -> Compose:
+    """Decode-only path for --device-augment: the host emits raw [0,1]
+    frames; flip/scale-crop/normalize run on device
+    (data/device_augment.py), fused into the jitted train step."""
+    return Compose([ToFloat()])

@@ -183,14 +183,24 @@ def _total_loss(
 def make_train_step(
     disp_model, pose_model, tx: optax.GradientTransformation, cfg: LossConfig,
     remat: bool = False,
+    augment_fn: Callable = None,
+    aug_seed: int = 0,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict]]:
     """Build the jitted train step. Donates the state for in-place updates.
 
     ``remat=True`` rematerializes network activations and loss intermediates
     in the backward pass — slower per step but fits ~4x larger batches.
+
+    ``augment_fn`` (data.device_augment): applied to the raw batch inside
+    the jitted program, keyed by (aug_seed, state.step) — the resample and
+    normalize fuse with the forward pass, and the augmentation stream is
+    deterministic for a given seed regardless of device count.
     """
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        if augment_fn is not None:
+            key = jax.random.fold_in(jax.random.PRNGKey(aug_seed), state.step)
+            batch = augment_fn(key, batch)
         grad_fn = jax.value_and_grad(
             lambda p: _total_loss(
                 disp_model, pose_model, p, state.batch_stats, batch, cfg,

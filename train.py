@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="warp sampler: 'gather' = torch-exact gathers "
                    "(fastest on TPU v5e), 'mxu' = gather-free one-hot "
                    "contraction (tested alternative, slower)")
+    p.add_argument("--device-augment", action="store_true",
+                   help="run flip/scale-crop/normalize on the TPU inside "
+                   "the jitted train step (host only decodes); keeps the "
+                   "chip fed when host CPU is the bottleneck")
     p.add_argument("--with-gt", action="store_true")
     p.add_argument("--skip-frames", type=int, default=1)
     p.add_argument("--val-batches", type=int, default=0,
@@ -164,7 +168,10 @@ def main(argv=None) -> int:
             pass
 
     # ---- data ------------------------------------------------------------
-    train_tf = transforms.train_transform()
+    if args.device_augment:
+        train_tf = transforms.raw_train_transform()
+    else:
+        train_tf = transforms.train_transform()
     valid_tf = transforms.valid_transform()
 
     if args.folder_type == "sequence":
@@ -268,8 +275,16 @@ def main(argv=None) -> int:
         padding_mode=args.padding_mode,
         sampler=args.sampler,
     )
+    augment_fn = None
+    if args.device_augment:
+        from sc_sfmlearner_release_tpu.data.device_augment import (
+            AugmentConfig, make_device_augment,
+        )
+
+        augment_fn = make_device_augment(AugmentConfig())
     train_step = make_train_step(disp_model, pose_model, tx, cfg,
-                                 remat=args.remat)
+                                 remat=args.remat, augment_fn=augment_fn,
+                                 aug_seed=args.seed)
     eval_step = make_eval_step(disp_model, pose_model, cfg)
     eval_depth_step = make_eval_depth_step(disp_model, args.dataset)
 
