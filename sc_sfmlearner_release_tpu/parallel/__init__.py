@@ -1,3 +1,21 @@
-from .mesh import make_mesh, shard_batch, replicate, batch_sharding, device_prefetch
+from .mesh import (
+    DATA_AXIS,
+    SPATIAL_AXIS,
+    batch_sharding,
+    device_prefetch,
+    make_mesh,
+    make_mesh_2d,
+    replicate,
+    shard_batch,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding", "device_prefetch"]
+__all__ = [
+    "DATA_AXIS",
+    "SPATIAL_AXIS",
+    "batch_sharding",
+    "device_prefetch",
+    "make_mesh",
+    "make_mesh_2d",
+    "replicate",
+    "shard_batch",
+]

@@ -21,6 +21,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+# Image-width axis per batch key, for spatial sharding. The reference has no
+# model-parallel axis at all (SURVEY.md §5.7); here the W axis of every
+# image-like array can shard over a second mesh axis and XLA's SPMD
+# partitioner inserts the conv halo exchanges automatically.
+_W_AXIS_BY_KEY = {"tgt": 2, "refs": 3, "img": 2, "depth": 2}
 
 
 def make_mesh(
@@ -32,26 +39,64 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(
+    spatial: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+    data_axis: str = DATA_AXIS,
+    spatial_axis: str = SPATIAL_AXIS,
+) -> Mesh:
+    """2-D (data x spatial) mesh: batch shards over ``data``, image width
+    over ``spatial``. ``spatial`` must divide the device count; adjacent
+    devices share an image so the halo exchange rides the shortest ICI hops.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if n % spatial != 0:
+        raise ValueError(f"spatial={spatial} must divide device count {n}")
+    return Mesh(
+        np.asarray(devices).reshape(n // spatial, spatial),
+        (data_axis, spatial_axis),
+    )
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Sharding that splits the leading (batch) axis across the mesh."""
     return NamedSharding(mesh, P(axis_name))
 
 
+def _spec_for(key: str, ndim: int, mesh: Mesh, axis_name: str):
+    """PartitionSpec for one batch entry: batch axis over ``data``, and —
+    when the mesh has a non-trivial spatial axis — image width over
+    ``spatial`` for the known image-like keys."""
+    parts = [axis_name] + [None] * (ndim - 1)
+    if (
+        SPATIAL_AXIS in mesh.axis_names
+        and mesh.shape[SPATIAL_AXIS] > 1
+        and key in _W_AXIS_BY_KEY
+        and _W_AXIS_BY_KEY[key] < ndim
+    ):
+        parts[_W_AXIS_BY_KEY[key]] = SPATIAL_AXIS
+    return P(*parts)
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
     """Device-put a host batch with the leading axis sharded over the mesh.
 
-    Works for pytrees (dicts of arrays). Under multi-host, arrays are
-    assembled from per-process local shards.
+    Works for pytrees (dicts of arrays). On a 2-D (data x spatial) mesh,
+    image-like entries additionally shard their width axis. Under
+    multi-host, arrays are assembled from per-process local shards.
     """
-    sharding = batch_sharding(mesh, axis_name)
 
-    def put(x):
+    def put(key, x):
         x = np.asarray(x)
+        sharding = NamedSharding(mesh, _spec_for(key, x.ndim, mesh, axis_name))
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding)
 
-    return jax.tree_util.tree_map(put, batch)
+    if isinstance(batch, dict):
+        return {k: put(k, v) for k, v in batch.items()}
+    return jax.tree_util.tree_map(lambda x: put("", x), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

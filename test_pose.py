@@ -32,6 +32,10 @@ def build_parser():
     p.add_argument("--img-height", default=256, type=int)
     p.add_argument("--img-width", default=832, type=int)
     p.add_argument("--no-resize", action="store_true")
+    # accepted for reference-CLI compatibility; unused there too
+    # (/root/reference/test_pose.py declares them without reading them)
+    p.add_argument("--min-depth", default=1e-3, type=float)
+    p.add_argument("--max-depth", default=80, type=float)
     p.add_argument("--dataset-dir", type=str)
     p.add_argument("--sequence-length", type=int, default=5)
     p.add_argument("--sequences", default=["09"], type=str, nargs="*")

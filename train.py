@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conv compute precision (params, BN stats, heads, "
                    "geometry and losses always fp32); bf16 is ~5x faster "
                    "on TPU")
+    p.add_argument("--spatial-shards", type=int, default=1,
+                   help="shard image width over a second mesh axis (model "
+                   "parallelism for per-chip batches < 1); must divide the "
+                   "device count and the image width")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations in the backward pass; "
                    "slower per step but fits ~4x larger per-chip batches")
@@ -210,13 +214,26 @@ def main(argv=None) -> int:
 
     # ---- models / state ----------------------------------------------------
     # the data mesh must evenly divide the global batch; use the largest
-    # divisor of batch_size that fits the available devices
+    # divisor of batch_size that fits the available devices (per spatial group
+    # when --spatial-shards > 1)
     n_dev = len(jax.devices())
-    n_use = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
-    if n_use != n_dev:
-        print(f"=> using {n_use}/{n_dev} devices (batch {args.batch_size} "
-              "must divide evenly)")
-    mesh = make_mesh(jax.devices()[:n_use])
+    sp = args.spatial_shards
+    if sp > 1:
+        if n_dev % sp != 0:
+            raise SystemExit(f"--spatial-shards {sp} must divide the "
+                             f"device count {n_dev}")
+        n_groups = n_dev // sp
+        n_data = max(d for d in range(1, n_groups + 1)
+                     if args.batch_size % d == 0)
+        from sc_sfmlearner_release_tpu.parallel import make_mesh_2d
+
+        mesh = make_mesh_2d(sp, jax.devices()[: n_data * sp])
+    else:
+        n_use = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+        if n_use != n_dev:
+            print(f"=> using {n_use}/{n_dev} devices (batch "
+                  f"{args.batch_size} must divide evenly)")
+        mesh = make_mesh(jax.devices()[:n_use])
     print(f"=> mesh: {mesh}")
 
     import jax.numpy as jnp
