@@ -64,32 +64,42 @@ def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
-def _spec_for(key: str, ndim: int, mesh: Mesh, axis_name: str):
+def _spec_for(key: str, ndim: int, mesh: Mesh, axis_name: str, offset: int = 0):
     """PartitionSpec for one batch entry: batch axis over ``data``, and —
     when the mesh has a non-trivial spatial axis — image width over
-    ``spatial`` for the known image-like keys."""
-    parts = [axis_name] + [None] * (ndim - 1)
+    ``spatial`` for the known image-like keys. ``offset=1`` handles stacked
+    fused-step batches ([K, B, ...]): the leading scan axis is replicated
+    and every other axis shifts right by one."""
+    parts = [None] * offset + [axis_name] + [None] * (ndim - 1 - offset)
     if (
         SPATIAL_AXIS in mesh.axis_names
         and mesh.shape[SPATIAL_AXIS] > 1
         and key in _W_AXIS_BY_KEY
-        and _W_AXIS_BY_KEY[key] < ndim
+        and _W_AXIS_BY_KEY[key] + offset < ndim
     ):
-        parts[_W_AXIS_BY_KEY[key]] = SPATIAL_AXIS
+        parts[_W_AXIS_BY_KEY[key] + offset] = SPATIAL_AXIS
     return P(*parts)
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
+def shard_batch(
+    batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS, stacked: bool = False
+) -> Any:
     """Device-put a host batch with the leading axis sharded over the mesh.
 
     Works for pytrees (dicts of arrays). On a 2-D (data x spatial) mesh,
     image-like entries additionally shard their width axis. Under
     multi-host, arrays are assembled from per-process local shards.
+    ``stacked=True``: batches carry a leading fused-steps axis ([K, B, ...],
+    see training.make_train_step) — the scan axis replicates and the batch
+    axis is axis 1.
     """
+    offset = 1 if stacked else 0
 
     def put(key, x):
         x = np.asarray(x)
-        sharding = NamedSharding(mesh, _spec_for(key, x.ndim, mesh, axis_name))
+        sharding = NamedSharding(
+            mesh, _spec_for(key, x.ndim, mesh, axis_name, offset)
+        )
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding)
@@ -105,7 +115,10 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
-def device_prefetch(iterator, mesh: Mesh, size: int = 2, axis_name: str = DATA_AXIS):
+def device_prefetch(
+    iterator, mesh: Mesh, size: int = 2, axis_name: str = DATA_AXIS,
+    stacked: bool = False,
+):
     """Stage host batches onto the device ``size`` steps ahead.
 
     With ~4 ms fused steps, the ~3 ms H2D copy of a KITTI batch would
@@ -119,7 +132,7 @@ def device_prefetch(iterator, mesh: Mesh, size: int = 2, axis_name: str = DATA_A
 
     def put(batch):
         n_valid = batch.pop("_n_valid", None)
-        staged = shard_batch(batch, mesh, axis_name)
+        staged = shard_batch(batch, mesh, axis_name, stacked=stacked)
         return staged, n_valid
 
     for batch in iterator:

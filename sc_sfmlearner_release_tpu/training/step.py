@@ -185,6 +185,7 @@ def make_train_step(
     remat: bool = False,
     augment_fn: Callable = None,
     aug_seed: int = 0,
+    fused_steps: int = 1,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict]]:
     """Build the jitted train step. Donates the state for in-place updates.
 
@@ -195,9 +196,19 @@ def make_train_step(
     the jitted program, keyed by (aug_seed, state.step) — the resample and
     normalize fuse with the forward pass, and the augmentation stream is
     deterministic for a given seed regardless of device count.
+
+    ``fused_steps=K > 1`` returns a step that takes K host batches stacked
+    on a new leading axis (tgt: [K, B, H, W, 3], ...) and runs K optimizer
+    steps in ONE dispatch via ``lax.scan``. At the canonical batch-4 config
+    the compute is ~0.6 ms/step but each dispatch costs several ms of
+    host/runtime latency, so fusing K steps is a ~9x throughput lever at
+    small batch (measured on v5e). Metrics come back with a leading [K]
+    axis, one entry per optimizer step — identical values to K unfused
+    calls (the augmentation stream is keyed by ``state.step``, which
+    advances inside the scan exactly as it would outside).
     """
 
-    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+    def one_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         if augment_fn is not None:
             key = jax.random.fold_in(jax.random.PRNGKey(aug_seed), state.step)
             batch = augment_fn(key, batch)
@@ -219,7 +230,13 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if fused_steps <= 1:
+        return jax.jit(one_step, donate_argnums=(0,))
+
+    def fused_step(state: TrainState, batches) -> Tuple[TrainState, Dict]:
+        return jax.lax.scan(one_step, state, batches)
+
+    return jax.jit(fused_step, donate_argnums=(0,))
 
 
 def make_eval_step(disp_model, pose_model, cfg: LossConfig):

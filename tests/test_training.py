@@ -179,6 +179,67 @@ def test_orbax_checkpoint_roundtrip():
         mgr.close()
 
 
+def test_fused_steps_match_sequential():
+    """fused_steps=K (one lax.scan dispatch) == K sequential unfused steps:
+    same final params, same per-step metrics."""
+    K = 3
+    disp, pose = _models()
+    tx = make_optimizer(lr=1e-3)
+    cfg = LossConfig()
+
+    step1 = make_train_step(disp, pose, tx, cfg)
+    stepK = make_train_step(disp, pose, tx, cfg, fused_steps=K)
+
+    batches = [_synthetic_batch(seed=s) for s in range(K)]
+    stacked = {
+        k: jnp.stack([b[k] for b in batches]) for k in batches[0]
+    }
+
+    state_seq = _state(tx)
+    seq_losses = []
+    for b in batches:
+        state_seq, m = step1(state_seq, b)
+        seq_losses.append(float(m["loss"]))
+
+    state_fused = _state(tx)
+    state_fused, mK = stepK(state_fused, stacked)
+
+    assert int(state_fused.step) == K
+    np.testing.assert_allclose(
+        np.asarray(mK["loss"]), np.asarray(seq_losses), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_fused.params),
+        jax.tree_util.tree_leaves(state_seq.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_fused_steps_sharded_over_mesh():
+    """Fused scan composes with the data mesh: stacked batches shard on
+    axis 1, the scan axis replicates."""
+    devices = jax.devices()
+    mesh = make_mesh(devices)
+    disp, pose = _models()
+    tx = make_optimizer(lr=1e-3)
+    state = replicate(_state(tx), mesh)
+    stepK = make_train_step(disp, pose, tx, LossConfig(), fused_steps=2)
+
+    batches = [
+        {k: np.asarray(v) for k, v in _synthetic_batch(b=8, seed=s).items()}
+        for s in range(2)
+    ]
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    sharded = shard_batch(stacked, mesh, stacked=True)
+
+    state, metrics = stepK(state, sharded)
+    assert metrics["loss"].shape == (2,)
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+    assert int(state.step) == 2
+
+
 def test_train_step_sequence_length_5():
     """4 reference frames (sequence-length 5) flow through the fused step."""
     disp, pose = _models()
