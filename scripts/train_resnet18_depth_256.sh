@@ -8,6 +8,6 @@ python train.py $TRAIN_SET \
 --with-ssim 1 \
 --with-mask 1 \
 --with-auto-mask 1 \
---with-pretrain 1 \
+--with-pretrain 1 ${IMAGENET_WEIGHTS_DIR:+--imagenet-weights-dir "$IMAGENET_WEIGHTS_DIR"} \
 --log-output --with-gt \
 --name resnet18_depth_256

@@ -57,11 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--with-mask", type=int, default=1)
     p.add_argument("--with-auto-mask", type=int, default=0)
     p.add_argument("--with-pretrain", type=int, default=1,
-                   help="ImageNet-pretrained encoder init (requires "
-                   "--imagenet-weights-dir with torchvision .pth files)")
+                   help="ImageNet-pretrained encoder init; weights are "
+                   "resolved from --imagenet-weights-dir, then "
+                   "$SCDEPTH_IMAGENET_DIR, then the torchvision hub cache "
+                   "(~/.cache/torch/hub/checkpoints). Published reference "
+                   "accuracy depends on this init — a missing weights "
+                   "source is a hard error, never a silent random init")
     p.add_argument("--imagenet-weights-dir", default=None,
-                   help="directory holding resnet{18,50}.pth torchvision "
-                   "ImageNet weights for encoder init")
+                   help="directory holding torchvision ImageNet weights "
+                   "(resnet{18,50}.pth or hub-named resnet18-*.pth) for "
+                   "encoder init")
     p.add_argument("--dataset", choices=["kitti", "nyu"], default="kitti")
     p.add_argument("--pretrained-disp", default=None,
                    help="path to pretrained DispNet (.msgpack or torch .pth.tar)")
@@ -97,7 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="shard image width over a second mesh axis (model "
                    "parallelism for per-chip batches < 1); must divide the "
-                   "device count and the image width")
+                   "device count (widths that do not divide evenly are "
+                   "padded by the GSPMD partitioner)")
     p.add_argument("--fused-steps", type=int, default=1,
                    help="run N optimizer steps per device dispatch "
                    "(lax.scan over N stacked batches); hides host dispatch "
@@ -109,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-freq", type=int, default=0,
                    help="also save the full train state every N steps "
                    "(preemption resilience; 0 = per-epoch only)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host (pod) training: calls "
+                   "jax.distributed.initialize() (coordinator/process env "
+                   "vars per the JAX cluster docs; auto-detected on Cloud "
+                   "TPU pods) and feeds each process its disjoint slice of "
+                   "every global batch")
     p.add_argument("--full-state-freq", type=int, default=1,
                    help="write the full resume state every N epochs (model "
                    "weights are written every epoch regardless); the full "
@@ -128,6 +140,35 @@ def _stack_fused(batches, k: int):
         if len(group) == k:
             yield {key: np.stack([g[key] for g in group]) for key in group[0]}
             group = []
+
+
+def _find_imagenet_weights(explicit_dir, num_layers: int):
+    """Locate a torchvision ImageNet .pth for resnet{num_layers}.
+
+    Search order: --imagenet-weights-dir, $SCDEPTH_IMAGENET_DIR, the
+    torchvision hub cache (~/.cache/torch/hub/checkpoints, where
+    `torchvision.models.resnet18(weights=...)` stages its download —
+    the reference's auto-download path, resnet_encoder.py:52-56).
+    Accepts both plain `resnet18.pth` and hub-named `resnet18-f37072fd.pth`.
+    Returns the path or None.
+    """
+    import glob
+
+    candidates = [
+        explicit_dir,
+        os.environ.get("SCDEPTH_IMAGENET_DIR"),
+        os.path.expanduser("~/.cache/torch/hub/checkpoints"),
+    ]
+    for d in candidates:
+        if not d or not os.path.isdir(d):
+            continue
+        exact = os.path.join(d, f"resnet{num_layers}.pth")
+        if os.path.isfile(exact):
+            return exact
+        hits = sorted(glob.glob(os.path.join(d, f"resnet{num_layers}-*.pth")))
+        if hits:
+            return hits[0]
+    return None
 
 
 def _load_net_variables(path: str, kind: str, num_layers: int):
@@ -151,6 +192,17 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.distributed:
+        # Multi-host SPMD: every process runs this same program; the global
+        # device mesh spans the pod and each process feeds its local slice
+        # of the batch (SURVEY.md §5.8). Must run before any backend use.
+        jax.distributed.initialize()
+    proc_idx, proc_cnt = jax.process_index(), jax.process_count()
+    if proc_cnt > 1:
+        print(f"=> multi-host: process {proc_idx}/{proc_cnt}, "
+              f"{jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+
     if args.debug_nans:
         from sc_sfmlearner_release_tpu.utils import enable_nan_debugging
 
@@ -170,6 +222,7 @@ def main(argv=None) -> int:
     )
     from sc_sfmlearner_release_tpu.utils import AverageMeter, ProgressLogger
 
+    is_main = proc_idx == 0  # only process 0 writes checkpoints/logs
     timestamp = datetime.datetime.now().strftime("%m-%d-%H:%M")
     save_path = os.path.join("checkpoints", args.name, timestamp)
     os.makedirs(save_path, exist_ok=True)
@@ -177,7 +230,7 @@ def main(argv=None) -> int:
 
     tb_writer = None
     output_writers = []
-    if not args.no_tensorboard:
+    if not args.no_tensorboard and is_main:
         try:
             from tensorboardX import SummaryWriter
 
@@ -224,10 +277,12 @@ def main(argv=None) -> int:
     train_loader = BatchLoader(
         train_set, args.batch_size, shuffle=True,
         num_workers=args.workers, drop_last=True, seed=args.seed,
+        process_index=proc_idx, process_count=proc_cnt,
     )
     val_loader = BatchLoader(
         val_set, args.batch_size, shuffle=False,
         num_workers=args.workers, drop_last=False, seed=args.seed,
+        process_index=proc_idx, process_count=proc_cnt,
     )
     epoch_size = args.epoch_size or len(train_loader)
 
@@ -262,26 +317,52 @@ def main(argv=None) -> int:
     pose_model = PoseNet(num_layers=18, dtype=compute_dtype)
 
     disp_vars = pose_vars = None
-    if args.with_pretrain and args.imagenet_weights_dir:
-        # ImageNet encoder init with random decoders.
-        rng = jax.random.PRNGKey(args.seed)
-        dummy = np.zeros((1, 64, 64, 3), np.float32)
-        disp_init = jax.jit(lambda k, x: disp_model.init(k, x, train=True))(
-            rng, dummy
-        )
-        pose_init = jax.jit(lambda k, x: pose_model.init(k, x, x, train=True))(
-            rng, dummy
-        )
-        disp_sd = C.load_torch_state_dict(
-            os.path.join(args.imagenet_weights_dir, f"resnet{args.resnet_layers}.pth")
-        )
-        pose_sd = C.load_torch_state_dict(
-            os.path.join(args.imagenet_weights_dir, "resnet18.pth")
-        )
-        disp_vars = C.graft_imagenet_encoder(
-            disp_init, disp_sd, args.resnet_layers, 1
-        )
-        pose_vars = C.graft_imagenet_encoder(pose_init, pose_sd, 18, 2)
+    if args.with_pretrain:
+        disp_pth = _find_imagenet_weights(args.imagenet_weights_dir,
+                                          args.resnet_layers)
+        pose_pth = _find_imagenet_weights(args.imagenet_weights_dir, 18)
+        if disp_pth is None or pose_pth is None:
+            if args.pretrained_disp and args.pretrained_pose:
+                # Full warm-start checkpoints supersede the ImageNet init.
+                print("=> --with-pretrain: no ImageNet weights found, but "
+                      "both nets are warm-started from checkpoints")
+            else:
+                missing = (f"resnet{args.resnet_layers}"
+                           if disp_pth is None else "resnet18")
+                raise SystemExit(
+                    f"--with-pretrain 1 but no ImageNet weights for "
+                    f"{missing} were found. Published reference accuracy "
+                    f"(Abs Rel 0.119/0.114) depends on this init — refusing "
+                    f"to silently train from random weights.\n"
+                    f"Stage torchvision .pth files (resnet18.pth / "
+                    f"resnet50.pth, or hub-named resnet18-*.pth) in one of:\n"
+                    f"  --imagenet-weights-dir DIR\n"
+                    f"  $SCDEPTH_IMAGENET_DIR\n"
+                    f"  ~/.cache/torch/hub/checkpoints  (torchvision's "
+                    f"download cache)\n"
+                    f"e.g. on a machine with internet:  python -c "
+                    f"\"import torchvision.models as m; "
+                    f"m.resnet18(weights='IMAGENET1K_V1')\"  then copy the "
+                    f"cache dir.  Or pass --with-pretrain 0 to train from "
+                    f"scratch deliberately."
+                )
+        else:
+            # ImageNet encoder init with random decoders.
+            print(f"=> ImageNet encoder init: disp={disp_pth} pose={pose_pth}")
+            rng = jax.random.PRNGKey(args.seed)
+            dummy = np.zeros((1, 64, 64, 3), np.float32)
+            disp_init = jax.jit(lambda k, x: disp_model.init(k, x, train=True))(
+                rng, dummy
+            )
+            pose_init = jax.jit(lambda k, x: pose_model.init(k, x, x, train=True))(
+                rng, dummy
+            )
+            disp_sd = C.load_torch_state_dict(disp_pth)
+            pose_sd = C.load_torch_state_dict(pose_pth)
+            disp_vars = C.graft_imagenet_encoder(
+                disp_init, disp_sd, args.resnet_layers, 1
+            )
+            pose_vars = C.graft_imagenet_encoder(pose_init, pose_sd, 18, 2)
 
     if args.pretrained_disp:
         print("=> using pre-trained weights for DispNet")
@@ -334,16 +415,18 @@ def main(argv=None) -> int:
         )[0][..., 0]
 
     # ---- logging ----------------------------------------------------------
-    with open(os.path.join(save_path, args.log_summary), "w", newline="") as f:
-        csv.writer(f, delimiter="\t").writerow(["train_loss", "validation_loss"])
-    with open(os.path.join(save_path, args.log_full), "w", newline="") as f:
-        csv.writer(f, delimiter="\t").writerow(
-            ["train_loss", "photo_loss", "smooth_loss", "geometry_consistency_loss"]
-        )
+    if is_main:
+        with open(os.path.join(save_path, args.log_summary), "w", newline="") as f:
+            csv.writer(f, delimiter="\t").writerow(["train_loss", "validation_loss"])
+        with open(os.path.join(save_path, args.log_full), "w", newline="") as f:
+            csv.writer(f, delimiter="\t").writerow(
+                ["train_loss", "photo_loss", "smooth_loss", "geometry_consistency_loss"]
+            )
 
     logger = ProgressLogger(args.epochs, epoch_size, len(val_loader))
     best_error = -1.0
     n_iter = 0
+    profile_done = False
 
     for epoch in range(args.epochs):
         logger.start_epoch(epoch)
@@ -366,22 +449,25 @@ def main(argv=None) -> int:
                 break
             t_data.update(time.time() - end)
 
-            # profile one dispatch past the compile step (global steps 2+)
-            if args.profile_dir and not profiling and 2 <= n_iter <= 5:
+            # profile exactly one dispatch, skipping the first (which
+            # includes the compile) — works for any --fused-steps size
+            if (args.profile_dir and not profile_done and not profiling
+                    and n_iter >= fused):
                 jax.profiler.start_trace(args.profile_dir)
                 profiling = True
             state, metrics = train_step(state, batch)
             prev_iter, n_iter = n_iter, n_iter + fused
             epoch_steps += fused
-            if args.profile_dir and profiling and n_iter > 5:
+            if profiling:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 profiling = False
+                profile_done = True
 
             pending.append(metrics)
             if args.checkpoint_freq and (
                 n_iter // args.checkpoint_freq > prev_iter // args.checkpoint_freq
-            ):
+            ) and is_main:
                 save_checkpoint(save_path, state, is_best=False, epoch=epoch)
             # did [prev_iter, n_iter) contain a multiple of print_freq?
             if (n_iter - 1) // args.print_freq > (prev_iter - 1) // args.print_freq:
@@ -424,8 +510,9 @@ def main(argv=None) -> int:
         )
         logger.write(f" * Avg Loss : {train_loss:.3f}")
 
-        with open(os.path.join(save_path, args.log_full), "a", newline="") as f:
-            csv.writer(f, delimiter="\t").writerows(full_rows)
+        if is_main:
+            with open(os.path.join(save_path, args.log_full), "a", newline="") as f:
+                csv.writer(f, delimiter="\t").writerows(full_rows)
 
         # ---- validate -------------------------------------------------
         if args.with_gt:
@@ -451,14 +538,14 @@ def main(argv=None) -> int:
             best_error = decisive_error
         is_best = decisive_error <= best_error
         best_error = min(best_error, decisive_error)
-        save_checkpoint(
-            save_path, state, is_best, epoch=epoch + 1,
-            full_state=(epoch + 1) % max(args.full_state_freq, 1) == 0
-            or epoch + 1 == args.epochs,
-        )
-
-        with open(os.path.join(save_path, args.log_summary), "a", newline="") as f:
-            csv.writer(f, delimiter="\t").writerow([train_loss, decisive_error])
+        if is_main:
+            save_checkpoint(
+                save_path, state, is_best, epoch=epoch + 1,
+                full_state=(epoch + 1) % max(args.full_state_freq, 1) == 0
+                or epoch + 1 == args.epochs,
+            )
+            with open(os.path.join(save_path, args.log_summary), "a", newline="") as f:
+                csv.writer(f, delimiter="\t").writerow([train_loss, decisive_error])
 
     return 0
 
