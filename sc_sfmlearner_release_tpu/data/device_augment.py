@@ -13,8 +13,15 @@ only decode + stack, and XLA fuses the normalize into the first convolution.
 
 Formulation. Flip, zoom and crop compose into ONE affine map from output
 pixel centers to input pixel centers, so the whole augmentation is a single
-bilinear resample per frame (``ops.grid_sample``, border padding — identical
-edge behavior to PIL's clamped bilinear filter):
+bilinear resample per frame (``ops.grid_sample``, border padding, matching
+PIL's clamped edge handling). Known filter deviation from the host path:
+the host/reference pipeline quantizes frames to uint8 and resizes with
+PIL's default filter for RGB (BICUBIC — transforms.py:93, reference
+custom_transforms.py imageio round-trip), whereas this path resamples
+*bilinearly on float* — so ``--device-augment`` produces a slightly
+different augmentation distribution (softer interpolation, no uint8
+rounding) on top of the effective-scale note below. Both are valid
+augmentation streams; parity with the reference is statistical either way:
 
     zoom to (floor(H*sy), floor(W*sx)), crop at integer (ox, oy)
       =>  in_x = (out_x + ox + 0.5) / sx_eff - 0.5,   sx_eff = floor(W*sx)/W

@@ -105,7 +105,13 @@ def shard_batch(
         return jax.device_put(x, sharding)
 
     if isinstance(batch, dict):
-        return {k: put(k, v) for k, v in batch.items()}
+        # Recurse per top-level key so nested containers (lists/dicts of
+        # arrays) still shard leaf-wise, while the key-aware spatial spec
+        # applies to every leaf under that key.
+        return {
+            k: jax.tree_util.tree_map(lambda x, k=k: put(k, x), v)
+            for k, v in batch.items()
+        }
     return jax.tree_util.tree_map(lambda x: put("", x), batch)
 
 

@@ -241,8 +241,10 @@ def make_train_step(
 
 def make_eval_step(disp_model, pose_model, cfg: LossConfig):
     """Photometric validation without GT (reference: train.py:302-362):
-    same losses in eval mode, auto-mask disabled."""
-    eval_cfg = dataclasses.replace(cfg, with_auto_mask=False)
+    same losses in eval mode, auto-mask disabled, and ALWAYS at scale 0
+    only — the reference validator builds `tgt_depth = [1/disp_net(tgt)]`
+    (train.py:322-326) regardless of the training `--num-scales`."""
+    eval_cfg = dataclasses.replace(cfg, with_auto_mask=False, num_scales=1)
 
     def eval_step(state: TrainState, batch) -> Dict[str, jax.Array]:
         _, (metrics, _) = _total_loss(
