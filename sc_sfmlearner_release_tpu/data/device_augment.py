@@ -177,14 +177,31 @@ def augment_with_draws(
     return out
 
 
+def _to_unit_float(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Lift uint8 [0,255] image entries to float32 [0,1] on device.
+
+    Lets the host loader ship uint8 (4x fewer H2D bytes than f32 — the
+    packed-dataset fast path, data/packed.py); XLA fuses the convert into
+    the augmentation resample.
+    """
+    out = dict(batch)
+    for k in ("tgt", "refs", "img"):
+        if k in out and out[k].dtype == jnp.uint8:
+            out[k] = out[k].astype(jnp.float32) / 255.0
+    return out
+
+
 def make_device_augment(cfg: AugmentConfig):
-    """Returns ``augment(key, batch) -> batch`` for raw [0,1] train batches.
+    """Returns ``augment(key, batch) -> batch`` for raw train batches —
+    float [0,1], or uint8 [0,255] straight from a packed loader.
 
     Meant to be called INSIDE the jitted train step (key folded from the
-    step counter) so the resample + normalize fuse with the forward pass.
+    step counter) so the convert + resample + normalize fuse with the
+    forward pass.
     """
 
     def augment(key: jax.Array, batch: Dict[str, jax.Array]) -> Dict:
+        batch = _to_unit_float(batch)
         draws = sample_draws(key, batch["tgt"].shape[0], cfg)
         return augment_with_draws(batch, draws, cfg)
 
@@ -196,8 +213,9 @@ def normalize_batch(
     mean: Tuple[float, float, float] = IMAGENET_MEAN,
     std: Tuple[float, float, float] = IMAGENET_STD,
 ) -> Dict[str, jax.Array]:
-    """Normalize-only device path (validation under --device-augment)."""
-    out = dict(batch)
+    """Normalize-only device path (validation under --device-augment).
+    Accepts float [0,1] or uint8 [0,255] image entries."""
+    out = _to_unit_float(batch)
     for k in ("tgt", "refs", "img"):
         if k in out:
             m = jnp.asarray(mean, out[k].dtype)

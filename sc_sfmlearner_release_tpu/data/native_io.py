@@ -47,6 +47,19 @@ def imread_f32(path: str, height: Optional[int] = None,
     return img
 
 
+def imread_u8(path: str) -> np.ndarray:
+    """Load an RGB image as uint8 HWC at native resolution (packed ETL)."""
+    if _native is not None and path.lower().endswith((".jpg", ".jpeg")):
+        return np.asarray(_native.decode_jpeg(path, 0, 0), dtype=np.uint8)
+
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(path))
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    return img[..., :3].astype(np.uint8)
+
+
 def imread_batch_f32(paths: Sequence[str], height: int, width: int,
                      threads: int = 0) -> np.ndarray:
     """Decode many JPEGs into one ``[N, H, W, 3]`` float32 array."""

@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run flip/scale-crop/normalize on the TPU inside "
                    "the jitted train step (host only decodes); keeps the "
                    "chip fed when host CPU is the bottleneck")
+    p.add_argument("--packed", action="store_true",
+                   help="read training frames from DIR/packed (raw uint8 "
+                   "memmap built by `python -m sc_sfmlearner_release_tpu."
+                   "data.packed DIR`); per-step host work drops to a "
+                   "memcpy and H2D carries uint8 — the input path for "
+                   "TPU-rate training. With --device-augment the host "
+                   "ships raw uint8 and everything else runs on device")
     p.add_argument("--with-gt", action="store_true")
     p.add_argument("--skip-frames", type=int, default=1)
     p.add_argument("--val-batches", type=int, default=0,
@@ -250,7 +257,26 @@ def main(argv=None) -> int:
         train_tf = transforms.train_transform()
     valid_tf = transforms.valid_transform()
 
-    if args.folder_type == "sequence":
+    if args.packed:
+        if args.folder_type != "sequence":
+            raise SystemExit("--packed supports --folder-type sequence")
+        from sc_sfmlearner_release_tpu.data import PackedSequenceSet
+
+        packed_dir = os.path.join(args.data, "packed")
+        if not os.path.isdir(packed_dir):
+            raise SystemExit(
+                f"--packed: {packed_dir} not found; build it once with "
+                f"`python -m sc_sfmlearner_release_tpu.data.packed {args.data}`"
+            )
+        # Under --device-augment the packed loader ships raw uint8 (4x
+        # fewer H2D bytes); otherwise the host transforms run on the
+        # decoded frames exactly as with SequenceSet.
+        train_set = PackedSequenceSet(
+            packed_dir, train=True, sequence_length=args.sequence_length,
+            skip_frames=args.skip_frames,
+            transform=None if args.device_augment else train_tf,
+        )
+    elif args.folder_type == "sequence":
         train_set = SequenceSet(
             args.data, train=True, sequence_length=args.sequence_length,
             skip_frames=args.skip_frames, transform=train_tf,
