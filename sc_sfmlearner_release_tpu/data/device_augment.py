@@ -12,9 +12,13 @@ cannot keep up. Moving the augmentation into the jitted step leaves the host
 only decode + stack, and XLA fuses the normalize into the first convolution.
 
 Formulation. Flip, zoom and crop compose into ONE affine map from output
-pixel centers to input pixel centers, so the whole augmentation is a single
-bilinear resample per frame (``ops.grid_sample``, border padding, matching
-PIL's clamped edge handling). Known filter deviation from the host path:
+pixel centers to input pixel centers, and that map is axis-separable
+(in_x depends only on the output column, in_y only on the output row), so
+the resample is two bilinear-weight contractions on the MXU — one along H,
+one along W — with border clamping matching PIL's edge handling. No gather
+ops anywhere (TPU has no fast arbitrary gather; the general-warp
+``ops.grid_sample`` measured ~100x slower for this op on v5e).
+Known filter deviation from the host path:
 the host/reference pipeline quantizes frames to uint8 and resizes with
 PIL's default filter for RGB (BICUBIC — transforms.py:93, reference
 custom_transforms.py imageio round-trip), whereas this path resamples
@@ -49,7 +53,6 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_sample import grid_sample
 from .transforms import IMAGENET_MEAN, IMAGENET_STD
 
 
@@ -83,9 +86,10 @@ def sample_draws(key: jax.Array, batch_size: int, cfg: AugmentConfig) -> Dict:
 
 def _affine_coords(
     draws: Dict, h: int, w: int
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Resolve draws into per-sample effective scales + integer offsets and
-    the normalized sampling grid ``[B, H, W, 2]`` for grid_sample."""
+    the per-axis pixel-space sampling positions ``in_x [B, W]``,
+    ``in_y [B, H]`` (the affine map is axis-separable)."""
     sx, sy = draws["scales"][:, 0], draws["scales"][:, 1]
     # Integer zoomed size, as the host path's PIL resize produces.
     scaled_w = jnp.floor(w * sx)
@@ -103,17 +107,49 @@ def _affine_coords(
     in_y = (out_y[None, :] + oy[:, None] + 0.5) / sy_eff[:, None] - 0.5
     in_x = jnp.where(draws["flip"][:, None], (w - 1.0) - in_x, in_x)
 
-    # Normalize for grid_sample (align_corners=False): px -> (2*px+1)/S - 1.
-    nx = (2.0 * in_x + 1.0) / w - 1.0
-    ny = (2.0 * in_y + 1.0) / h - 1.0
-    coords = jnp.stack(
-        [
-            jnp.broadcast_to(nx[:, None, :], (nx.shape[0], h, w)),
-            jnp.broadcast_to(ny[:, :, None], (ny.shape[0], h, w)),
-        ],
-        axis=-1,
-    )
-    return coords, sx_eff, sy_eff, ox, oy, draws["flip"]
+    return in_x, in_y, sx_eff, sy_eff, ox, oy, draws["flip"]
+
+
+def _axis_weights(pos: jax.Array, size: int) -> jax.Array:
+    """Bilinear tap-weight matrix for one axis: ``[B, out, size]``.
+
+    ``pos [B, out]`` are source pixel positions; border handling clamps to
+    [0, size-1] (PIL-style edge clamp, identical to grid_sample's
+    ``padding_mode='border'``). Each row has <=2 nonzeros (the two taps),
+    so contracting with it reproduces bilinear sampling exactly — but as a
+    dense matmul the MXU executes at full rate, instead of the per-element
+    gather XLA would emit for the equivalent 2-D grid_sample.
+    """
+    pos = jnp.clip(pos, 0.0, size - 1.0)
+    p0 = jnp.floor(pos)
+    frac = pos - p0
+    taps = jax.lax.broadcasted_iota(jnp.float32, (1, 1, size), 2)
+    w0 = jnp.where(taps == jnp.clip(p0, 0, size - 1)[..., None], 1.0 - frac[..., None], 0.0)
+    w1 = jnp.where(taps == jnp.clip(p0 + 1.0, 0, size - 1)[..., None], frac[..., None], 0.0)
+    return w0 + w1
+
+
+def _separable_resample(
+    frames: jax.Array, in_x: jax.Array, in_y: jax.Array
+) -> jax.Array:
+    """Axis-separable bilinear resample of ``[B, H, W, C]`` frames.
+
+    ``in_x [B, W]`` / ``in_y [B, H]`` give each output column/row's source
+    position. Equivalent to ``grid_sample(frames, coords, 'border')`` on the
+    outer-product grid, but formulated as two one-hot-weight contractions so
+    it runs on the MXU — a bilinear-weight matrix is exact in fp32, so this
+    path is bit-comparable to the gather formulation (tested).
+    """
+    b, h, w, c = frames.shape
+    ay = _axis_weights(in_y, h)  # [B, H_out, H_in]
+    ax = _axis_weights(in_x, w)  # [B, W_out, W_in]
+    f32 = frames.astype(jnp.float32)
+    # Vertical then horizontal; fp32 accumulate keeps weights exact.
+    out = jnp.einsum("bih,bhwc->biwc", ay, f32,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bjw,biwc->bijc", ax, out,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.astype(frames.dtype)
 
 
 def _update_intrinsics(
@@ -154,15 +190,15 @@ def augment_with_draws(
     b, h, w, _ = tgt.shape
     n = refs.shape[1]
 
-    coords, sx_eff, sy_eff, ox, oy, flip = _affine_coords(draws, h, w)
+    in_x, in_y, sx_eff, sy_eff, ox, oy, flip = _affine_coords(draws, h, w)
 
-    # One resample over all 1+N frames: stack into the batch axis with the
-    # snippet's shared coords repeated per frame.
+    # One resample over all 1+N frames: fold frames into the channel axis
+    # (the snippet shares one affine draw) and apply the separable
+    # MXU-contraction resample — no gather anywhere in the augment path.
     frames = jnp.concatenate([tgt[:, None], refs], axis=1)  # [B, 1+N, H, W, 3]
-    flat = frames.reshape((b * (1 + n), h, w, 3))
-    coords_rep = jnp.repeat(coords, 1 + n, axis=0)
-    sampled = grid_sample(flat, coords_rep, padding_mode="border")
-    sampled = sampled.reshape((b, 1 + n, h, w, 3))
+    packed = frames.transpose(0, 2, 3, 1, 4).reshape(b, h, w, (1 + n) * 3)
+    sampled = _separable_resample(packed, in_x, in_y)
+    sampled = sampled.reshape(b, h, w, 1 + n, 3).transpose(0, 3, 1, 2, 4)
 
     mean = jnp.asarray(cfg.mean, sampled.dtype)
     std = jnp.asarray(cfg.std, sampled.dtype)

@@ -241,6 +241,15 @@ def inverse_warp2(
     proj = jnp.matmul(intrinsics, pose_mat, precision=_HIGHEST)
     coords, computed_depth = cam2pixel(cam_coords, proj, padding_mode)
 
+    # The sampled IMAGE values never need a gradient: ``img`` is input data
+    # (camera frames), not a network output, so d(loss)/d(img) is discarded
+    # by the trainer anyway. Cutting it here removes the bilinear sampler's
+    # scatter-add transpose for all 3 RGB channels from the backward pass —
+    # scatters are among the slowest ops XLA emits on TPU. Gradients still
+    # flow through ``coords`` (to depth + pose) and through the sampled
+    # source DEPTH (a disp-net output, needed by the geometry loss).
+    img_ng = jax.lax.stop_gradient(img)
+
     if sampler == "mxu":
         # One packed 5-channel call: RGB as plain values (bf16 rounding,
         # ~4e-3 on [0,1] images) plus the source depth split into bf16 hi/lo
@@ -250,7 +259,7 @@ def inverse_warp2(
 
         depth_hi_lo = _split_hi_lo(ref_depth.astype(jnp.float32))
         packed = jnp.concatenate(
-            [img.astype(jnp.float32), depth_hi_lo], axis=-1
+            [img_ng.astype(jnp.float32), depth_hi_lo], axis=-1
         )
         sampled = grid_sample_mxu(
             packed, coords, padding_mode=padding_mode, precision="bf16"
@@ -260,7 +269,7 @@ def inverse_warp2(
             ref_depth.dtype
         )
     elif sampler == "gather":
-        projected_img = grid_sample(img, coords, padding_mode=padding_mode)
+        projected_img = grid_sample(img_ng, coords, padding_mode=padding_mode)
         projected_depth = grid_sample(ref_depth, coords, padding_mode=padding_mode)
     else:
         raise ValueError(f"unknown sampler: {sampler}")

@@ -245,3 +245,33 @@ def test_train_step_with_device_augment_on_mesh():
     new_state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_separable_resample_matches_grid_sample():
+    """The MXU-contraction resample must reproduce the general bilinear
+    sampler (border padding) exactly on the same separable affine grid."""
+    from sc_sfmlearner_release_tpu.data.device_augment import (
+        _affine_coords, _separable_resample,
+    )
+    from sc_sfmlearner_release_tpu.ops.grid_sample import grid_sample
+
+    rng = np.random.RandomState(1)
+    frames = jnp.asarray(rng.rand(B, H, W, 5).astype(np.float32))
+    draws = {
+        "flip": jnp.asarray([True, False, True]),
+        "scales": jnp.asarray(rng.uniform(1.0, 1.15, (B, 2)), jnp.float32),
+        "offsets01": jnp.asarray(rng.rand(B, 2), jnp.float32),
+    }
+    in_x, in_y, *_ = _affine_coords(draws, H, W)
+
+    got = _separable_resample(frames, in_x, in_y)
+
+    nx = (2.0 * in_x + 1.0) / W - 1.0
+    ny = (2.0 * in_y + 1.0) / H - 1.0
+    coords = jnp.stack(
+        [jnp.broadcast_to(nx[:, None, :], (B, H, W)),
+         jnp.broadcast_to(ny[:, :, None], (B, H, W))], axis=-1)
+    want = grid_sample(frames, coords, padding_mode="border")
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-5)
