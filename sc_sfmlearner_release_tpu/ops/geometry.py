@@ -219,13 +219,20 @@ def inverse_warp2(
       ref_depth: source depth ``[B, H, W, 1]``.
       pose: ``[B, 6]`` 6-DoF target->source (euler).
       intrinsics: ``[B, 3, 3]``.
-      sampler: ``"gather"`` (default) uses the torch-exact gather
-        formulation (golden-tested vs torch CPU) — measured fastest on TPU
-        v5e (2.45 ms/step for the full b4 train step; XLA lowers these
-        gathers well). ``"mxu"`` uses the gather-free one-hot-contraction
-        formulation (ops/warp_mxu.py), kept as a tested alternative; the
-        A/B on v5e at [4, 256, 832] measured it ~440x slower end-to-end,
-        so it is not the default.
+      sampler: which bilinear sampler implements the two grid-samples.
+        * ``"gather"`` — the torch-exact gather formulation
+          (golden-tested vs torch CPU). Exact, but XLA lowers TPU gathers
+          to ~0.1 G values/s (element-at-a-time HBM walks), which makes
+          it the train step's dominant cost at the canonical config.
+        * ``"band"`` (optionally ``"band<N>"``, e.g. ``"band96"``) — the
+          banded one-hot MXU formulation (ops/warp_band.py): scatter- and
+          gather-free, bf16-exact image values, fp32-exact sampled depth
+          via hi/lo splitting, with an exact whole-call gather fallback
+          when a warp exceeds the N-row vertical band. The TPU hot-path
+          choice.
+        * ``"mxu"`` — round-1's unbanded one-hot formulation
+          (ops/warp_mxu.py), kept as a tested alternative; ~band/H times
+          the band sampler's FLOPs, never preferable.
 
     Returns:
       (projected_img ``[B, H, W, 3]``,
@@ -250,7 +257,26 @@ def inverse_warp2(
     # source DEPTH (a disp-net output, needed by the geometry loss).
     img_ng = jax.lax.stop_gradient(img)
 
-    if sampler == "mxu":
+    if sampler.startswith("band"):
+        from .warp_band import grid_sample_band, split_hi_lo
+
+        band = int(sampler[4:]) if len(sampler) > 4 else 64
+        # Two calls so the RGB sample (stop-gradient source) compiles with
+        # a pure-VPU backward (coordinate gradients only), while the depth
+        # sample keeps its scatter-free transposed-matmul value gradient.
+        # Depth is split into bf16 hi/lo channels so the sampled value
+        # recombines to fp32 accuracy (sampling is linear).
+        projected_img = grid_sample_band(
+            img_ng, coords, padding_mode=padding_mode, band=band
+        )
+        d = grid_sample_band(
+            split_hi_lo(ref_depth.astype(jnp.float32)),
+            coords,
+            padding_mode=padding_mode,
+            band=band,
+        )
+        projected_depth = (d[..., :1] + d[..., 1:]).astype(ref_depth.dtype)
+    elif sampler == "mxu":
         # One packed 5-channel call: RGB as plain values (bf16 rounding,
         # ~4e-3 on [0,1] images) plus the source depth split into bf16 hi/lo
         # channels so its sampled value recombines to fp32 accuracy

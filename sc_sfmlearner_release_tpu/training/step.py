@@ -42,9 +42,10 @@ class LossConfig:
     with_mask: bool = True
     with_auto_mask: bool = False
     padding_mode: str = "zeros"
-    # "gather": torch-exact gather formulation — measured fastest on TPU
-    # v5e (the A/B vs the one-hot-contraction "mxu" path showed gather
-    # ~440x faster end-to-end at [4, 256, 832]). "mxu": ops/warp_mxu.py.
+    # Warp sampler (see ops/geometry.py inverse_warp2): "gather" is the
+    # torch-exact formulation; "band"/"band<N>" is the banded one-hot MXU
+    # formulation (ops/warp_band.py) that avoids TPU HBM gathers (~0.1 G
+    # values/s) in the hot path; "mxu" is the round-1 unbanded variant.
     sampler: str = "gather"
 
 

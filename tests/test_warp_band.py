@@ -1,0 +1,202 @@
+"""Banded one-hot-matmul sampler vs the torch-exact gather sampler.
+
+The gather implementation is golden-tested against torch CPU
+(test_grid_sample.py); here the banded MXU formulation (ops/warp_band.py)
+is held to it. For bf16-representable sources the band path is EXACT
+(binary one-hots + fp32 VPU weights); the whole-call gather fallback is
+exact by construction; fp32 sources recombine exactly through hi/lo
+splitting. Gradients are checked for both the value path (depth) and the
+coordinate path (pose/depth geometry).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sc_sfmlearner_release_tpu.ops.grid_sample import grid_sample
+from sc_sfmlearner_release_tpu.ops.warp_band import (
+    grid_sample_band,
+    split_hi_lo,
+)
+
+
+def _bf16_img(rng, shape):
+    """Random image already exactly representable in bf16."""
+    x = rng.rand(*shape).astype(np.float32)
+    return jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def _near_identity_coords(rng, b, h, w, dy_px=3.0, dx_px=40.0):
+    """Coords displaced from identity by bounded pixel amounts."""
+    ys = (np.arange(h, dtype=np.float32) + 0.5) / h * 2 - 1
+    xs = (np.arange(w, dtype=np.float32) + 0.5) / w * 2 - 1
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    grid = np.broadcast_to(np.stack([gx, gy], -1), (b, h, w, 2)).copy()
+    grid[..., 0] += (rng.rand(b, h, w) * 2 - 1) * (2 * dx_px / w)
+    grid[..., 1] += (rng.rand(b, h, w) * 2 - 1) * (2 * dy_px / h)
+    return jnp.asarray(grid.astype(np.float32))
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_exact_vs_gather_in_band(padding_mode):
+    rng = np.random.RandomState(0)
+    b, h, w, c = 2, 32, 48, 3
+    img = _bf16_img(rng, (b, h, w, c))
+    coords = _near_identity_coords(rng, b, h, w, dy_px=3.0)
+    ref = grid_sample(img, coords, padding_mode=padding_mode)
+    got = grid_sample_band(img, coords, padding_mode=padding_mode,
+                           band=16, rows_per_chunk=4)
+    # 1-ulp fp32 association difference: the band path factors the y-weight
+    # out of the two x-taps, the gather path multiplies per-tap products.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_out_of_frame_coords_exact():
+    # Large displacements push taps out of frame: their weights must zero
+    # out identically to the gather path (still in-band vertically thanks
+    # to the out-of-frame escape in the guard).
+    rng = np.random.RandomState(1)
+    b, h, w, c = 2, 24, 40, 2
+    img = _bf16_img(rng, (b, h, w, c))
+    coords = (jnp.asarray(rng.rand(b, h, w, 2).astype(np.float32)) * 2 - 1)
+    coords = coords * jnp.asarray([3.0, 0.05])  # wild x, near-center y
+    ref = grid_sample(img, coords, padding_mode="zeros")
+    got = grid_sample_band(img, coords, padding_mode="zeros",
+                           band=48, rows_per_chunk=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_band_violation_falls_back_exact():
+    # Vertically scattered coords violate a narrow band; the cond must
+    # route the WHOLE call through the exact gather path.
+    rng = np.random.RandomState(2)
+    b, h, w, c = 1, 32, 16, 3
+    img = _bf16_img(rng, (b, h, w, c))
+    coords = jnp.asarray((rng.rand(b, h, w, 2).astype(np.float32) * 2 - 1)
+                         * 0.95)
+    ref = grid_sample(img, coords, padding_mode="zeros")
+    got = grid_sample_band(img, coords, padding_mode="zeros",
+                           band=8, rows_per_chunk=4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_identity_roundtrip_odd_height():
+    # h not a multiple of rows_per_chunk exercises the padded tail rows.
+    rng = np.random.RandomState(3)
+    b, h, w, c = 1, 29, 33, 2
+    img = _bf16_img(rng, (b, h, w, c))
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2 - 1
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2 - 1
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    coords = jnp.broadcast_to(jnp.stack([gx, gy], -1), (b, h, w, 2))
+    got = grid_sample_band(img, coords, band=16, rows_per_chunk=4)
+    # fp32 normalize/unnormalize round-trip leaves ~1e-7 tap weights on
+    # the neighbors (the gather path does the same), so compare to both.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(img), atol=1e-5)
+    ref = grid_sample(img, coords)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_hi_lo_split_recovers_fp32():
+    rng = np.random.RandomState(4)
+    b, h, w = 1, 16, 24
+    depth = jnp.asarray(1.0 + rng.rand(b, h, w, 1).astype(np.float32) * 50)
+    coords = _near_identity_coords(rng, b, h, w, dy_px=2.0, dx_px=6.0)
+    ref = grid_sample(depth, coords, padding_mode="zeros")
+    d2 = grid_sample_band(split_hi_lo(depth), coords, band=16,
+                          rows_per_chunk=4)
+    got = d2[..., :1] + d2[..., 1:]
+    # hi samples exactly; lo (|x| * 2^-9) rounds once more to bf16 in the
+    # matmul, so the recombined value carries bf16^2 ~ 4e-6 RELATIVE error.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # ...and is far tighter than sampling the raw fp32 depth in bf16.
+    raw = grid_sample_band(depth, coords, band=16, rows_per_chunk=4)
+    err_hi_lo = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
+    err_raw = np.max(np.abs(np.asarray(raw) - np.asarray(ref)))
+    assert err_hi_lo < err_raw / 10
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_gradients_match_gather(padding_mode):
+    rng = np.random.RandomState(5)
+    b, h, w, c = 1, 16, 20, 1
+    img = _bf16_img(rng, (b, h, w, c))
+    coords = _near_identity_coords(rng, b, h, w, dy_px=2.0, dx_px=4.0)
+
+    def loss_ref(i, co):
+        return jnp.sum(grid_sample(i, co, padding_mode=padding_mode) ** 2)
+
+    def loss_band(i, co):
+        return jnp.sum(
+            grid_sample_band(i, co, padding_mode=padding_mode,
+                             band=12, rows_per_chunk=4) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(img, coords)
+    g_band = jax.grad(loss_band, argnums=(0, 1))(img, coords)
+    # Value gradients transpose through the binary one-hot matmul: the
+    # cotangent rounds to bf16 once (standard bf16-training behavior).
+    np.testing.assert_allclose(np.asarray(g_band[0]), np.asarray(g_ref[0]),
+                               rtol=1e-2, atol=1e-2)
+    # Coordinate gradients stay on the fp32 VPU weight path.
+    np.testing.assert_allclose(np.asarray(g_band[1]), np.asarray(g_ref[1]),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_inverse_warp2_band_sampler_agrees():
+    from sc_sfmlearner_release_tpu.ops.geometry import inverse_warp2
+
+    rng = np.random.RandomState(6)
+    b, h, w = 2, 32, 40
+    img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    depth = jnp.asarray(2.0 + rng.rand(b, h, w, 1).astype(np.float32))
+    ref_depth = jnp.asarray(2.0 + rng.rand(b, h, w, 1).astype(np.float32))
+    pose = jnp.asarray(rng.randn(b, 6).astype(np.float32) * 0.02)
+    k = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]], np.float32)
+    intr = jnp.asarray(np.broadcast_to(k, (b, 3, 3)).copy())
+
+    out_g = inverse_warp2(img, depth, ref_depth, pose, intr, sampler="gather")
+    out_b = inverse_warp2(img, depth, ref_depth, pose, intr, sampler="band16")
+    # image: one bf16 source rounding; valid/computed: identical math;
+    # depth: hi/lo fp32 recombination.
+    np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_g[0]),
+                               atol=4e-3)
+    np.testing.assert_array_equal(np.asarray(out_b[1]), np.asarray(out_g[1]))
+    np.testing.assert_allclose(np.asarray(out_b[2]), np.asarray(out_g[2]),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_b[3]), np.asarray(out_g[3]))
+
+
+def test_pairwise_loss_and_grads_close():
+    """Full pairwise loss + pose/depth gradients: band vs gather."""
+    from sc_sfmlearner_release_tpu.ops.losses import pairwise_loss
+
+    rng = np.random.RandomState(7)
+    b, h, w = 2, 32, 48
+    tgt = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    ref = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    k = np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]], np.float32)
+    intr = jnp.asarray(np.broadcast_to(k, (b, 3, 3)).copy())
+
+    def loss(pose, td, rd, sampler):
+        photo, geom = pairwise_loss(tgt, ref, td, rd, pose, intr,
+                                    sampler=sampler)
+        return photo + 0.5 * geom
+
+    pose = jnp.asarray(rng.randn(b, 6).astype(np.float32) * 0.01)
+    td = jnp.asarray(2.0 + rng.rand(b, h, w, 1).astype(np.float32))
+    rd = jnp.asarray(2.0 + rng.rand(b, h, w, 1).astype(np.float32))
+
+    for smp in ("band", "band16"):
+        lg, gg = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            pose, td, rd, "gather")
+        lb, gb = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            pose, td, rd, smp)
+        np.testing.assert_allclose(float(lb), float(lg), rtol=2e-3)
+        for a, b_ in zip(gg, gb):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=3e-2, atol=3e-4)

@@ -76,10 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint dir to resume full train state from")
     p.add_argument("--name", required=True)
     p.add_argument("--padding-mode", choices=["zeros", "border"], default="zeros")
-    p.add_argument("--sampler", choices=["gather", "mxu"], default="gather",
+    p.add_argument("--sampler", default="gather",
                    help="warp sampler: 'gather' = torch-exact gathers "
-                   "(fastest on TPU v5e), 'mxu' = gather-free one-hot "
-                   "contraction (tested alternative, slower)")
+                   "(exact but TPU gathers dominate step time); 'band' or "
+                   "'band<N>' (e.g. band96) = banded one-hot MXU sampler "
+                   "(scatter/gather-free, exact fallback outside the "
+                   "N-row vertical band — the TPU hot-path choice); 'mxu' "
+                   "= round-1 unbanded one-hot (tested alternative)")
     p.add_argument("--device-augment", action="store_true",
                    help="run flip/scale-crop/normalize on the TPU inside "
                    "the jitted train step (host only decodes); keeps the "
