@@ -1,5 +1,5 @@
 from .viz import tensor2array, depth_visualizer
-from .meters import AverageMeter, ProgressLogger
+from .meters import AverageMeter, ProgressLogger, TermLogger, make_logger
 from .profiling import trace, StepTimer, enable_nan_debugging
 
 __all__ = [
@@ -7,6 +7,8 @@ __all__ = [
     "depth_visualizer",
     "AverageMeter",
     "ProgressLogger",
+    "TermLogger",
+    "make_logger",
     "trace",
     "StepTimer",
     "enable_nan_debugging",

@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val-batches", type=int, default=0,
                    help="cap validation batches (0 = all)")
     p.add_argument("--no-tensorboard", action="store_true")
+    p.add_argument("--log-style", choices=["auto", "bars", "line"],
+                   default="auto",
+                   help="terminal UI: 'bars' = the reference's fixed-"
+                   "position epoch/train/valid bars (logger.py), 'line' = "
+                   "plain single-line updates; 'auto' picks bars on a TTY")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler device trace of a few steps "
                    "into this directory (view with TensorBoard)")
@@ -230,7 +235,7 @@ def main(argv=None) -> int:
         LossConfig, create_train_state, make_eval_depth_step, make_eval_step,
         make_optimizer, make_train_step, restore_train_state, save_checkpoint,
     )
-    from sc_sfmlearner_release_tpu.utils import AverageMeter, ProgressLogger
+    from sc_sfmlearner_release_tpu.utils import AverageMeter, make_logger
 
     is_main = proc_idx == 0  # only process 0 writes checkpoints/logs
     timestamp = datetime.datetime.now().strftime("%m-%d-%H:%M")
@@ -452,7 +457,8 @@ def main(argv=None) -> int:
                 ["train_loss", "photo_loss", "smooth_loss", "geometry_consistency_loss"]
             )
 
-    logger = ProgressLogger(args.epochs, epoch_size, len(val_loader))
+    logger = make_logger(args.epochs, epoch_size, len(val_loader),
+                         style=args.log_style)
     best_error = -1.0
     n_iter = 0
     profile_done = False
@@ -576,6 +582,7 @@ def main(argv=None) -> int:
             with open(os.path.join(save_path, args.log_summary), "a", newline="") as f:
                 csv.writer(f, delimiter="\t").writerow([train_loss, decisive_error])
 
+    logger.finish()
     return 0
 
 
