@@ -18,6 +18,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# Compile-time lever for the big train-step programs: XLA's backend
+# optimization pipeline costs ~330s per train-step compile on 1 CPU and
+# ~40s without it, with identical test semantics at these tiny shapes
+# (measured: same loss to 1e-5, warm step time unchanged). Set as an env
+# var (not jax.config) so the CLI-driving subprocess tests inherit it.
+# Opt out with SCSFM_TEST_FULL_OPT=1 to run under full XLA optimization.
+if not os.environ.get("SCSFM_TEST_FULL_OPT"):
+    os.environ["JAX_DISABLE_MOST_OPTIMIZATIONS"] = "1"
+
 # In this environment jax may already be imported at interpreter startup, in
 # which case the env vars above were read too early — force via config (the
 # backend itself is still uninitialized at conftest time).
@@ -28,3 +37,7 @@ assert jax.devices()[0].platform == "cpu", (
     "tests must run on CPU with virtual devices; got "
     f"{jax.devices()}"
 )
+if not os.environ.get("SCSFM_TEST_FULL_OPT"):
+    # Belt and braces with the env var above (jax may have been imported
+    # by a site customization before conftest ran).
+    jax.config.update("jax_disable_most_optimizations", True)
