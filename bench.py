@@ -7,24 +7,26 @@ What is timed — the COMPLETE on-device training pipeline exactly as
 uint8 frame ingest (packed-loader wire format, data/packed.py) -> on-device
 convert + flip/scale-crop/normalize augmentation (data/device_augment.py)
 -> DispNet-18 + PoseNet-18 forward over all snippet frames / directed pairs
--> photometric+smooth+geometry loss -> backward -> Adam, 16 optimizer steps
-per dispatch via lax.scan (training/step.py). Canonical reference config:
-batch 4, 832x256, 3-frame snippets, SSIM + masks
-(scripts/train_resnet18_depth_256.sh). Conv compute in bfloat16 (BN stats,
-heads, geometry, losses fp32) — the framework's default training precision.
+-> photometric+smooth+geometry loss (banded MXU warp sampler, band64 —
+ops/warp_band.py) -> backward -> Adam, 16 optimizer steps per dispatch via
+lax.scan (training/step.py). Canonical reference config: batch 4, 832x256,
+3-frame snippets, SSIM + masks (scripts/train_resnet18_depth_256.sh). Conv
+compute in bfloat16 (BN stats, heads, geometry, losses fp32) — the
+framework's default training precision.
 
-Methodology: 3 warmup dispatches (includes compile), then 9 repeats of a
-24-dispatch timed window (384 optimizer steps per window, 3456 total) over
-distinct pre-staged uint8 batches, dispatches pipelined within each window;
-the reported number is the p50 of the 9 window throughputs (kills the
-dispatch-latency wobble that made single-step timings range 1000-1560/s at
-batch 4 — per-dispatch completion timestamps bunch over the device tunnel,
-so whole-window timing is the stable estimator).
+Timing methodology — robust to async dispatch AND to relay/tunnel
+environments where `block_until_ready` does not actually wait (observed on
+the axon loopback relay: a 1.1 TFLOP matmul "synced" in 0.05 ms):
+  * every dispatch is CHAINED (the train state threads through), so no
+    dispatch can complete before its predecessor;
+  * the only barrier is fetching ONE jitted scalar off the final metrics —
+    a true data dependency on the whole chain;
+  * per-step time is the SLOPE between a short chain and a long chain,
+    which cancels the constant fetch round-trip. On a healthy backend this
+    reduces to standard steady-state timing.
 
-Host input feed is measured separately (not on the timed path) because this
-environment's TPU is network-tunneled (~0.08 GB/s H2D — an environment
-artifact, not a TPU property): the packed loader's per-step host work is a
-memmap memcpy (no JPEG decode), benchmarked in docs/DESIGN.md.
+Host input feed is measured separately (not on the timed path): the packed
+loader's per-step host work is a memmap memcpy (no JPEG decode).
 
 vs_baseline is ESTIMATE-DERIVED: the PyTorch reference does not publish
 throughput; ~5 snippets/s is inferred from its README epoch time
@@ -36,6 +38,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -45,10 +48,9 @@ import numpy as np
 BASELINE_SNIPPETS_PER_SEC_EST = 5.0
 BATCH, N_REFS, H, W = 4, 2, 256, 832
 FUSED = 16
-N_STAGED = 3          # distinct pre-staged stacked batches, cycled
-WARMUP_DISPATCHES = 3
-WINDOW_DISPATCHES = 24  # 24 * 16 = 384 optimizer steps per timed window
-N_WINDOWS = 9
+N_STAGED = 3      # distinct pre-staged stacked batches, cycled
+K_SMALL = 2       # short chain (dispatches)
+MAX_SECONDS = 60  # target device time for the long chain
 
 
 def main() -> None:
@@ -67,7 +69,6 @@ def main() -> None:
     mesh = make_mesh()
     n_chips = len(jax.devices())
 
-    rng = np.random.RandomState(0)
     k = np.array(
         [[241.67, 0, W / 2], [0, 246.28, H / 2], [0, 0, 1]], np.float32
     )
@@ -77,70 +78,69 @@ def main() -> None:
         return {
             "tgt": r.randint(0, 256, (FUSED, BATCH, H, W, 3), np.uint8),
             "refs": r.randint(0, 256, (FUSED, BATCH, N_REFS, H, W, 3), np.uint8),
-            "intrinsics": np.broadcast_to(
-                k, (FUSED, BATCH, 3, 3)
-            ).copy(),
+            "intrinsics": np.broadcast_to(k, (FUSED, BATCH, 3, 3)).copy(),
         }
 
     disp_model = DispNet(num_layers=18, dtype=jnp.bfloat16)
     pose_model = PoseNet(num_layers=18, dtype=jnp.bfloat16)
-    tx = make_optimizer(lr=1e-4)
+    tx = make_optimizer(1e-4)
     state = create_train_state(
-        disp_model, pose_model, tx, jax.random.PRNGKey(0),
-        image_shape=(1, H, W, 3),
+        disp_model, pose_model, tx, jax.random.PRNGKey(0)
     )
     state = replicate(state, mesh)
     step = make_train_step(
         disp_model, pose_model, tx,
         LossConfig(num_scales=1, with_ssim=True, with_mask=True,
-                   with_auto_mask=True),
+                   with_auto_mask=True, sampler="band64"),
         augment_fn=make_device_augment(AugmentConfig()),
         fused_steps=FUSED,
     )
     staged = [
         shard_batch(host_batch(i), mesh, stacked=True) for i in range(N_STAGED)
     ]
+    pick = jax.jit(lambda m: m["loss"].ravel()[-1].astype(jnp.float32))
 
-    for i in range(WARMUP_DISPATCHES):
-        state, metrics = step(state, staged[i % N_STAGED])
-    jax.block_until_ready(metrics["loss"])
-
-    # Whole-window timing, repeated: dispatches stay pipelined inside a
-    # window; each window's throughput = steps*batch / wall. The p50 over
-    # windows is robust to tunnel-latency bursts that make per-dispatch
-    # completion deltas bunch.
-    window_tput = []
-    for _ in range(N_WINDOWS):
+    def chain(state, n):
+        """n chained dispatches + one scalar fetch; returns (state, wall)."""
         t0 = time.perf_counter()
-        for i in range(WINDOW_DISPATCHES):
+        metrics = None
+        for i in range(n):
             state, metrics = step(state, staged[i % N_STAGED])
-        jax.block_until_ready(metrics["loss"])
-        dt = time.perf_counter() - t0
-        window_tput.append(WINDOW_DISPATCHES * FUSED * BATCH / dt)
+        loss = float(pick(metrics))
+        if not np.isfinite(loss):
+            print(f"[bench] WARNING non-finite loss {loss}", file=sys.stderr)
+        return state, time.perf_counter() - t0
 
-    window_tput = np.asarray(window_tput)
-    snippets_per_sec = float(np.median(window_tput))
+    # Warm: compile + settle (also primes the staged batches onto device).
+    state, _ = chain(state, 1)
+
+    state, t_small = chain(state, K_SMALL)
+    # Size the long chain for ~MAX_SECONDS of device time.
+    est_per = max(t_small / K_SMALL, 1e-3)
+    k_big = int(max(K_SMALL + 4, min(256, MAX_SECONDS / est_per)))
+    state, t_big = chain(state, k_big)
+
+    per_dispatch = (t_big - t_small) / (k_big - K_SMALL)
+    snippets_per_sec = FUSED * BATCH / per_dispatch
     per_chip = snippets_per_sec / n_chips
 
     print(
-        f"[bench] {N_WINDOWS} windows x {WINDOW_DISPATCHES} dispatches x "
-        f"{FUSED} steps: window throughput p50 {snippets_per_sec:.0f}, "
-        f"range {window_tput.min():.0f}-{window_tput.max():.0f} snippets/s "
-        f"({FUSED * BATCH / snippets_per_sec * 1e3 / FUSED:.3f} ms/step)",
+        f"[bench] slope over {K_SMALL}->{k_big} chained dispatches "
+        f"({k_big * FUSED} steps timed): {per_dispatch * 1e3 / FUSED:.3f} "
+        f"ms/step, {snippets_per_sec:.1f} snippets/s "
+        f"(t_small={t_small:.2f}s t_big={t_big:.2f}s)",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": "train_snippets_per_sec_per_chip p50-of-windows "
+                "metric": "train_snippets_per_sec_per_chip slope-timed "
                 "(r18 depth+pose, b4, 832x256, 3-frame, device-augment, "
-                "fused-16 production step, 3456 steps timed; baseline 5/s "
-                "is an ESTIMATE from the reference README epoch time)",
+                "fused-16 production step; baseline 5/s is an ESTIMATE "
+                "from the reference README epoch time)",
                 "value": round(per_chip, 3),
                 "unit": "snippets/s/chip",
-                "vs_baseline": round(
-                    per_chip / BASELINE_SNIPPETS_PER_SEC_EST, 3
-                ),
+                "vs_baseline": round(per_chip / BASELINE_SNIPPETS_PER_SEC_EST, 3),
             }
         )
     )

@@ -210,13 +210,18 @@ def grid_sample_band(
         return None, jnp.sum(sel[..., None] * tx, axis=2)  # [B, P, C]
 
     ci_all = jnp.arange(nchunk, dtype=jnp.int32)
-    _, outs = jax.lax.scan(
-        one_chunk, None,
-        (ci_all, x0c, wxc, ax0, ax1, rel0, rel1, by0, by1, wyc),
-    )  # [n, B, P, C]
-    out = outs.swapaxes(0, 1).reshape(b, h_out_pad, w, c)[:, :h]
 
     def band_result():
+        # Rematerialize the chunk body in the backward pass: without this
+        # the scan's VJP saves every chunk's tap tensor ``t`` (and one-hot/
+        # weight intermediates) as residuals — tens of GB at the canonical
+        # config. Recomputing one chunk matmul during backward is far
+        # cheaper than spilling it to HBM.
+        _, outs = jax.lax.scan(
+            jax.checkpoint(one_chunk, prevent_cse=False), None,
+            (ci_all, x0c, wxc, ax0, ax1, rel0, rel1, by0, by1, wyc),
+        )  # [n, B, P, C]
+        out = outs.swapaxes(0, 1).reshape(b, h_out_pad, w, c)[:, :h]
         return out.astype(out_dtype)
 
     if not fallback:
@@ -224,6 +229,8 @@ def grid_sample_band(
 
     # Exactness guard: every source row used with nonzero weight must fall
     # inside its chunk's band; otherwise take the exact gather path once.
+    # Both the guard and the whole band computation live inside the cond
+    # branches, so a violating call pays only the gather cost — not both.
     in0 = (by0 == 0) | ((rel0 >= 0) & (rel0 <= band - 1))
     in1 = (by1 == 0) | ((rel1 >= 0) & (rel1 <= band - 1))
     # Padded output rows carry arbitrary indices but zero weights; the

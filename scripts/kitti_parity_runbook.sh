@@ -26,6 +26,17 @@ if [ "$SMOKE" = "1" ]; then
     # Force CPU: the ambient JAX_PLATFORMS may point at shared TPU hardware,
     # and the smoke chain only validates plumbing. SMOKE_PLATFORM overrides.
     export JAX_PLATFORMS=${SMOKE_PLATFORM:-cpu}
+    if [ "$JAX_PLATFORMS" = "cpu" ]; then
+        # Site customizations key a hardware PJRT plugin off these vars and
+        # override jax_platforms; drop them so CPU really means CPU.
+        unset PALLAS_AXON_POOL_IPS PALLAS_AXON_REMOTE_COMPILE
+    fi
+    # The smoke validates plumbing, not codegen: skip XLA's slow backend
+    # optimization pipeline (~8x faster compiles, same results at these
+    # shapes) and cache compiles across smoke runs.
+    export JAX_DISABLE_MOST_OPTIMIZATIONS=${JAX_DISABLE_MOST_OPTIMIZATIONS:-1}
+    export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_smoke_cache}
+    export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
     H=64; W=128  # must be multiples of 32 (encoder stride)
     EPOCHS=1; EPOCH_SIZE=4; BATCH=2; PRETRAIN=0
     KITTI_RAW="$WORK/smoke/raw"

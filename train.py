@@ -76,13 +76,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint dir to resume full train state from")
     p.add_argument("--name", required=True)
     p.add_argument("--padding-mode", choices=["zeros", "border"], default="zeros")
-    p.add_argument("--sampler", default="gather",
-                   help="warp sampler: 'gather' = torch-exact gathers "
-                   "(exact but TPU gathers dominate step time); 'band' or "
-                   "'band<N>' (e.g. band96) = banded one-hot MXU sampler "
-                   "(scatter/gather-free, exact fallback outside the "
-                   "N-row vertical band — the TPU hot-path choice); 'mxu' "
-                   "= round-1 unbanded one-hot (tested alternative)")
+    p.add_argument("--sampler", default="auto",
+                   help="warp sampler. 'band<N>' = banded one-hot MXU "
+                   "sampler (scatter/gather-free, ~2-4x faster full step "
+                   "on v5e, exact whole-call gather fallback outside the "
+                   "N-row vertical band); 'gather' = torch-exact gathers "
+                   "(the parity/golden-test reference, but TPU HBM "
+                   "gathers dominate its step time); 'mxu' = round-1 "
+                   "unbanded one-hot (tested alternative). Default 'auto' "
+                   "= band64 on TPU, gather on CPU (the band program's "
+                   "scan/remat structure compiles very slowly in XLA:CPU, "
+                   "and CPU gathers are fast)")
     p.add_argument("--device-augment", action="store_true",
                    help="run flip/scale-crop/normalize on the TPU inside "
                    "the jitted train step (host only decodes); keeps the "
@@ -415,6 +419,11 @@ def main(argv=None) -> int:
         state = restore_train_state(args.resume, state)
     state = replicate(state, mesh)
 
+    sampler = args.sampler
+    if sampler == "auto":
+        sampler = "gather" if jax.default_backend() == "cpu" else "band64"
+        print(f"=> sampler: {sampler} (auto)")
+
     cfg = LossConfig(
         photo_weight=args.photo_loss_weight,
         smooth_weight=args.smooth_loss_weight,
@@ -424,7 +433,7 @@ def main(argv=None) -> int:
         with_mask=bool(args.with_mask),
         with_auto_mask=bool(args.with_auto_mask),
         padding_mode=args.padding_mode,
-        sampler=args.sampler,
+        sampler=sampler,
     )
     augment_fn = None
     if args.device_augment:
