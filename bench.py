@@ -114,13 +114,25 @@ def main() -> None:
     # Warm: compile + settle (also primes the staged batches onto device).
     state, _ = chain(state, 1)
 
-    state, t_small = chain(state, K_SMALL)
-    # Size the long chain for ~MAX_SECONDS of device time.
-    est_per = max(t_small / K_SMALL, 1e-3)
-    k_big = int(max(K_SMALL + 4, min(256, MAX_SECONDS / est_per)))
-    state, t_big = chain(state, k_big)
-
-    per_dispatch = (t_big - t_small) / (k_big - K_SMALL)
+    # The relay/tunnel can carry unrelated queued work; repeat the
+    # (short, long) pair until the slope is sane and take the median.
+    slopes = []
+    for attempt in range(5):
+        state, t_small = chain(state, K_SMALL)
+        est_per = max(t_small / K_SMALL, 1e-3)
+        k_big = int(max(K_SMALL + 8, min(256, MAX_SECONDS / est_per)))
+        state, t_big = chain(state, k_big)
+        slope = (t_big - t_small) / (k_big - K_SMALL)
+        print(f"[bench] attempt {attempt}: t_small={t_small:.2f}s "
+              f"t_big={t_big:.2f}s k_big={k_big} slope={slope*1e3:.1f} "
+              "ms/dispatch", file=sys.stderr)
+        if slope > 0 and t_big > 1.2 * t_small:
+            slopes.append(slope)
+        if len(slopes) >= 3:
+            break
+    if not slopes:
+        raise SystemExit("[bench] no valid slope measurement (tunnel busy?)")
+    per_dispatch = sorted(slopes)[len(slopes) // 2]
     snippets_per_sec = FUSED * BATCH / per_dispatch
     per_chip = snippets_per_sec / n_chips
 

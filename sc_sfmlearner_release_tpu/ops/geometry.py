@@ -258,24 +258,28 @@ def inverse_warp2(
     img_ng = jax.lax.stop_gradient(img)
 
     if sampler.startswith("band"):
-        from .warp_band import grid_sample_band, split_hi_lo
+        from .warp_band import split_hi_lo, warp_sample_band_packed
 
         band = int(sampler[4:]) if len(sampler) > 4 else 64
-        # Two calls so the RGB sample (stop-gradient source) compiles with
-        # a pure-VPU backward (coordinate gradients only), while the depth
-        # sample keeps its scatter-free transposed-matmul value gradient.
-        # Depth is split into bf16 hi/lo channels so the sampled value
-        # recombines to fp32 accuracy (sampling is linear).
-        projected_img = grid_sample_band(
-            img_ng, coords, padding_mode=padding_mode, band=band
+        # ONE packed call: [depth_hi, depth_lo, R, G, B]. Gradient-carrying
+        # channels (the hi/lo-split source depth — recombines to fp32
+        # accuracy since sampling is linear) go first; the custom backward
+        # transposes only those two, while the RGB channels (stop-gradient
+        # camera frames) cost nothing in the backward pass. Coordinate
+        # gradients for ALL channels flow through the out-of-kernel fp32
+        # weight combine.
+        depth_hilo = split_hi_lo(ref_depth.astype(jnp.float32))
+        packed = jnp.concatenate(
+            [depth_hilo, img_ng.astype(jnp.float32)], axis=-1
         )
-        d = grid_sample_band(
-            split_hi_lo(ref_depth.astype(jnp.float32)),
-            coords,
-            padding_mode=padding_mode,
-            band=band,
+        sampled = warp_sample_band_packed(
+            packed, coords, padding_mode=padding_mode, band=band,
+            grad_channels=2,
         )
-        projected_depth = (d[..., :1] + d[..., 1:]).astype(ref_depth.dtype)
+        projected_depth = (
+            sampled[..., 0:1] + sampled[..., 1:2]
+        ).astype(ref_depth.dtype)
+        projected_img = sampled[..., 2:].astype(img.dtype)
     elif sampler == "mxu":
         # One packed 5-channel call: RGB as plain values (bf16 rounding,
         # ~4e-3 on [0,1] images) plus the source depth split into bf16 hi/lo

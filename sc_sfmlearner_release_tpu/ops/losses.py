@@ -49,11 +49,20 @@ def mean_on_mask(diff: jax.Array, valid_mask: jax.Array) -> jax.Array:
 
 
 def _grouped_mean_on_mask(diff: jax.Array, valid_mask: jax.Array) -> jax.Array:
-    """Per-group masked mean: diff ``[G, B, H, W, C]`` -> ``[G]``."""
+    """Per-group masked mean: diff ``[G, B, H, W, C]`` -> ``[G]``.
+
+    The reduction runs on a flattened ``[G, B*H*W*C]`` view so the summed
+    axis is the minor (lane) dimension. Reducing the 5-D form directly made
+    XLA lay the whole upstream photometric chain (SSIM pools included) out
+    with the small G axis on the 128-wide vector lanes — ~12% lane
+    utilization for tens of ms per step at the canonical config.
+    """
     mask = jnp.broadcast_to(valid_mask, diff.shape)
-    axes = tuple(range(1, diff.ndim))
-    mask_sum = jnp.sum(mask, axis=axes)
-    mean = jnp.sum(diff * mask, axis=axes) / jnp.maximum(mask_sum, 1.0)
+    g = diff.shape[0]
+    d2 = diff.reshape(g, -1)
+    m2 = mask.reshape(g, -1)
+    mask_sum = jnp.sum(m2, axis=1)
+    mean = jnp.sum(d2 * m2, axis=1) / jnp.maximum(mask_sum, 1.0)
     return jnp.where(mask_sum > _MIN_MASK_SUM, mean, 0.0)
 
 

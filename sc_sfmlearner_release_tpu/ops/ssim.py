@@ -19,9 +19,9 @@ _C2 = 0.03**2
 
 
 def _mean_pool3(x: jax.Array) -> jax.Array:
-    """3x3 stride-1 mean pooling on a reflection-padded NHWC array."""
+    """3x3 stride-1 mean pooling on a reflection-padded [N, H, W] array."""
     s = lax.reduce_window(
-        x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
+        x, 0.0, lax.add, (1, 3, 3), (1, 1, 1), "VALID"
     )
     return s / 9.0
 
@@ -34,10 +34,21 @@ def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
 
     Returns:
       ``[B, H, W, C]`` per-pixel dissimilarity in [0, 1].
+
+    The pooling runs on a ``[B*C, H, W]`` view (channels folded into the
+    batch dim) so W stays the minor/lane dimension on TPU. Pooling the
+    NHWC tensors directly let XLA pick a layout with the tiny pair/channel
+    dim on the 128-wide lanes, leaving them ~90% idle — measured ~37
+    ms/step of the canonical train step in the windowed sums alone.
     """
-    pad = ((0, 0), (1, 1), (1, 1), (0, 0))
-    xp = jnp.pad(x, pad, mode="reflect")
-    yp = jnp.pad(y, pad, mode="reflect")
+    b, h, w, c = x.shape
+
+    def to3(a):
+        return a.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+
+    pad = ((0, 0), (1, 1), (1, 1))
+    xp = jnp.pad(to3(x), pad, mode="reflect")
+    yp = jnp.pad(to3(y), pad, mode="reflect")
 
     mu_x = _mean_pool3(xp)
     mu_y = _mean_pool3(yp)
@@ -49,4 +60,5 @@ def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
     n = (2.0 * mu_x * mu_y + _C1) * (2.0 * sigma_xy + _C2)
     d = (mu_x * mu_x + mu_y * mu_y + _C1) * (sigma_x + sigma_y + _C2)
 
-    return jnp.clip((1.0 - n / d) / 2.0, 0.0, 1.0)
+    out = jnp.clip((1.0 - n / d) / 2.0, 0.0, 1.0)
+    return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)

@@ -200,3 +200,107 @@ def test_pairwise_loss_and_grads_close():
         for a, b_ in zip(gg, gb):
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                        rtol=3e-2, atol=3e-4)
+
+
+# ---- tap-separated packed variant (the production training warp) ----
+
+
+def test_packed_taps_matches_gather_values():
+    from sc_sfmlearner_release_tpu.ops.warp_band import (
+        warp_sample_band_packed,
+    )
+
+    rng = np.random.RandomState(8)
+    b, h, w, c = 2, 32, 48, 4
+    img = _bf16_img(rng, (b, h, w, c))
+    coords = _near_identity_coords(rng, b, h, w, dy_px=3.0)
+    for pm in ("zeros", "border"):
+        ref = grid_sample(img, coords, padding_mode=pm)
+        got = warp_sample_band_packed(img, coords, padding_mode=pm,
+                                      band=16, rows_per_chunk=4,
+                                      grad_channels=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_packed_taps_out_of_frame_and_fallback():
+    from sc_sfmlearner_release_tpu.ops.warp_band import (
+        warp_sample_band_packed,
+    )
+
+    rng = np.random.RandomState(9)
+    b, h, w, c = 1, 24, 32, 3
+    img = _bf16_img(rng, (b, h, w, c))
+    # wild x, near-center y: out-of-frame taps must zero identically
+    coords = (jnp.asarray(rng.rand(b, h, w, 2).astype(np.float32)) * 2 - 1)
+    coords = coords * jnp.asarray([3.0, 0.05])
+    ref = grid_sample(img, coords, padding_mode="zeros")
+    got = warp_sample_band_packed(img, coords, band=24, rows_per_chunk=4,
+                                  grad_channels=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # vertically scattered coords violate the band -> exact gather fallback
+    coords2 = jnp.asarray(
+        (rng.rand(b, h, w, 2).astype(np.float32) * 2 - 1) * 0.95)
+    ref2 = grid_sample(img, coords2, padding_mode="zeros")
+    got2 = warp_sample_band_packed(img, coords2, band=8, rows_per_chunk=4,
+                                   grad_channels=3)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+
+
+def test_packed_taps_gradients():
+    """Value grads (leading grad_channels) + coordinate grads vs gather."""
+    from sc_sfmlearner_release_tpu.ops.warp_band import (
+        warp_sample_band_packed,
+    )
+
+    rng = np.random.RandomState(10)
+    b, h, w = 1, 16, 20
+    img = _bf16_img(rng, (b, h, w, 3))  # ch0 gets grads; ch1-2 do not
+    coords = _near_identity_coords(rng, b, h, w, dy_px=2.0, dx_px=4.0)
+
+    def loss_ref(i, co):
+        s = grid_sample(i, co, padding_mode="zeros")
+        return jnp.sum(s ** 2)
+
+    def loss_band(i, co):
+        s = warp_sample_band_packed(i, co, band=12, rows_per_chunk=4,
+                                    grad_channels=1)
+        return jnp.sum(s ** 2)
+
+    gi_ref, gc_ref = jax.grad(loss_ref, argnums=(0, 1))(img, coords)
+    gi_b, gc_b = jax.grad(loss_band, argnums=(0, 1))(img, coords)
+    # channel 0 value-gradient matches the gather transpose
+    np.testing.assert_allclose(np.asarray(gi_b[..., 0]),
+                               np.asarray(gi_ref[..., 0]),
+                               rtol=1e-2, atol=1e-2)
+    # channels without grad_channels coverage report zero
+    np.testing.assert_array_equal(np.asarray(gi_b[..., 1:]),
+                                  np.zeros_like(np.asarray(gi_b[..., 1:])))
+    # coordinate gradients flow through the fp32 weight combine
+    np.testing.assert_allclose(np.asarray(gc_b), np.asarray(gc_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_inverse_warp2_band_uses_packed_taps():
+    """End-to-end inverse_warp2 band sampler parity (packed taps path)."""
+    from sc_sfmlearner_release_tpu.ops.geometry import inverse_warp2
+
+    rng = np.random.RandomState(11)
+    b, h, w = 2, 32, 40
+    img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    depth = jnp.asarray(2.0 + rng.rand(b, h, w, 1).astype(np.float32))
+    ref_depth = jnp.asarray(2.0 + rng.rand(b, h, w, 1).astype(np.float32))
+    k = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]], np.float32)
+    intr = jnp.asarray(np.broadcast_to(k, (b, 3, 3)).copy())
+
+    def loss(pose, sampler):
+        o = inverse_warp2(img, depth, ref_depth, pose, intr, sampler=sampler)
+        return jnp.sum(o[0]) + jnp.sum(o[2] * o[2])
+
+    pose = jnp.asarray(rng.randn(b, 6).astype(np.float32) * 0.02)
+    lg, gg = jax.value_and_grad(loss)(pose, "gather")
+    lb, gb = jax.value_and_grad(loss)(pose, "band16")
+    np.testing.assert_allclose(float(lb), float(lg), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gg),
+                               rtol=2e-2, atol=2e-4)
