@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .geometry import inverse_warp2
-from .ssim import ssim
+from .ssim import ssim, ssim_nchw
 
 # The reference only trusts a masked mean when the valid region is larger
 # than 10000 elements (loss_functions.py:123-129).
@@ -180,6 +180,16 @@ def photo_and_geometry_loss(
     photo_total = jnp.zeros((), tgt_img.dtype)
     geom_total = jnp.zeros((), tgt_img.dtype)
 
+    # The post-warp chain runs in NCHW (pair dim outermost, W minor): with
+    # NHWC inputs XLA's layout assignment migrated the tiny pair/channel
+    # dims onto the 128-wide vector lanes for the whole SSIM/diff/mask
+    # pipeline (~12% lane utilization, tens of ms per step at the
+    # canonical config). One transpose per warped tensor buys W-minor
+    # layouts for every elementwise/pooling op that follows.
+    nchw = lambda a: a.transpose(0, 3, 1, 2)
+    tgt_c = nchw(tgt_imgs_f)
+    src_c = nchw(src_imgs_f)
+
     for s in range(scales):
         tgt_d = _upsample_nearest(tgt_depth[s], h, w)
         ref_d = ref_depths[s]
@@ -190,34 +200,36 @@ def photo_and_geometry_loss(
         warped, valid, projected_depth, computed_depth = inverse_warp2(
             src_imgs_f, tgt_d_f, src_d_f, poses_f, intr_f, padding_mode, sampler
         )
+        warped_c = nchw(warped)
+        valid_c = nchw(valid)  # [F, 1, H, W]
 
-        diff_img = jnp.clip(jnp.abs(tgt_imgs_f - warped), 0.0, 1.0)
+        diff_img = jnp.clip(jnp.abs(tgt_c - warped_c), 0.0, 1.0)
         diff_depth = jnp.clip(
             jnp.abs(computed_depth - projected_depth)
             / (computed_depth + projected_depth),
             0.0,
             1.0,
-        )
+        )[..., 0][:, None]  # [F, 1, H, W]
 
         if with_auto_mask:
-            warped_err = jnp.mean(diff_img, axis=-1, keepdims=True)
+            warped_err = jnp.mean(diff_img, axis=1, keepdims=True)
             static_err = jnp.mean(
-                jnp.abs(tgt_imgs_f - src_imgs_f), axis=-1, keepdims=True
+                jnp.abs(tgt_c - src_c), axis=1, keepdims=True
             )
-            valid = (warped_err < static_err).astype(valid.dtype) * valid
+            valid_c = (warped_err < static_err).astype(valid_c.dtype) * valid_c
 
         if with_ssim:
-            diff_img = 0.15 * diff_img + 0.85 * ssim(tgt_imgs_f, warped)
+            diff_img = 0.15 * diff_img + 0.85 * ssim_nchw(tgt_c, warped_c)
 
         if with_mask:
             diff_img = diff_img * (1.0 - diff_depth)
 
         # Per directed pair, the masked mean runs over that pair's whole
-        # [B, H, W, C] block (with the reference's >10000 guard), then pairs
+        # [B, C, H, W] block (with the reference's >10000 guard), then pairs
         # are summed — matching the reference's per-call means.
         group = lambda a: a.reshape((2 * n, b) + a.shape[1:])
-        photo_total += jnp.sum(_grouped_mean_on_mask(group(diff_img), group(valid)))
-        geom_total += jnp.sum(_grouped_mean_on_mask(group(diff_depth), group(valid)))
+        photo_total += jnp.sum(_grouped_mean_on_mask(group(diff_img), group(valid_c)))
+        geom_total += jnp.sum(_grouped_mean_on_mask(group(diff_depth), group(valid_c)))
 
     return photo_total, geom_total
 

@@ -62,3 +62,23 @@ def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
 
     out = jnp.clip((1.0 - n / d) / 2.0, 0.0, 1.0)
     return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
+def ssim_nchw(x: jax.Array, y: jax.Array) -> jax.Array:
+    """SSIM dissimilarity on ``[B, C, H, W]`` inputs (same math as
+    :func:`ssim`); the hot-path layout — W stays the minor/lane dim with
+    no transposes in or out."""
+    b, c, h, w = x.shape
+    pad = ((0, 0), (1, 1), (1, 1))
+    xp = jnp.pad(x.reshape(b * c, h, w), pad, mode="reflect")
+    yp = jnp.pad(y.reshape(b * c, h, w), pad, mode="reflect")
+
+    mu_x = _mean_pool3(xp)
+    mu_y = _mean_pool3(yp)
+    sigma_x = _mean_pool3(xp * xp) - mu_x * mu_x
+    sigma_y = _mean_pool3(yp * yp) - mu_y * mu_y
+    sigma_xy = _mean_pool3(xp * yp) - mu_x * mu_y
+
+    n = (2.0 * mu_x * mu_y + _C1) * (2.0 * sigma_xy + _C2)
+    d = (mu_x * mu_x + mu_y * mu_y + _C1) * (sigma_x + sigma_y + _C2)
+    return jnp.clip((1.0 - n / d) / 2.0, 0.0, 1.0).reshape(b, c, h, w)

@@ -41,3 +41,20 @@ if not os.environ.get("SCSFM_TEST_FULL_OPT"):
     # Belt and braces with the env var above (jax may have been imported
     # by a site customization before conftest ran).
     jax.config.update("jax_disable_most_optimizations", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _fullopt_marker(request):
+    """Tests marked ``fullopt`` compile under XLA's full optimization
+    pipeline: executing GSPMD mesh-sharded programs compiled with
+    jax_disable_most_optimizations makes XLA:CPU abort (SIGABRT)."""
+    if request.node.get_closest_marker("fullopt") is None:
+        yield
+        return
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    if not os.environ.get("SCSFM_TEST_FULL_OPT"):
+        jax.config.update("jax_disable_most_optimizations", True)

@@ -204,6 +204,8 @@ def test_normalize_batch_matches_host_normalize():
     np.testing.assert_allclose(out["tgt"], exp, atol=1e-6)
 
 
+@pytest.mark.slow
+@pytest.mark.fullopt
 def test_train_step_with_device_augment_on_mesh():
     """Full jitted train step with in-step augmentation over the 8-device
     CPU mesh: compiles, runs, loss finite, step advances."""

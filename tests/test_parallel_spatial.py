@@ -9,6 +9,7 @@ the SAME global result as the data-parallel-only step.
 
 import jax
 import numpy as np
+import pytest
 
 from sc_sfmlearner_release_tpu.models import DispNet, PoseNet
 from sc_sfmlearner_release_tpu.parallel import (
@@ -68,6 +69,8 @@ def test_spatial_sharding_places_width_axis():
     assert k_spec[0] == "data" and all(s is None for s in k_spec[1:])
 
 
+@pytest.mark.slow
+@pytest.mark.fullopt
 def test_spatial_step_matches_data_parallel():
     """One train step on data(8) vs data(4) x spatial(2): same global math,
     so losses and updated params must agree to numerical tolerance."""

@@ -7,6 +7,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sc_sfmlearner_release_tpu.models import DispNet, PoseNet
 from sc_sfmlearner_release_tpu.parallel import make_mesh, replicate, shard_batch
@@ -107,6 +108,8 @@ def test_eval_steps():
     assert 0.0 <= float(errors["a1"]) <= 1.0
 
 
+@pytest.mark.slow
+@pytest.mark.fullopt
 def test_train_step_sharded_over_mesh():
     """The same jitted step over an 8-device data mesh: batch sharded,
     state replicated, results identical semantics (global batch)."""
@@ -220,6 +223,8 @@ def test_fused_steps_match_sequential():
         )
 
 
+@pytest.mark.slow
+@pytest.mark.fullopt
 def test_fused_steps_sharded_over_mesh():
     """Fused scan composes with the data mesh: stacked batches shard on
     axis 1, the scan axis replicates."""

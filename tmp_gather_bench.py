@@ -1,67 +1,83 @@
-"""Measure gather formulations honestly (chained, scalar fetch, slope)."""
-import sys, time
+"""Honest gather timings: in-graph fori_loop chains, scalar output, slope."""
+import sys, time, functools
 import numpy as np, jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 H, W = 256, 832
-PB = 16          # pair-batch (2N*B)
-C = 4            # rgb + depth
-L = PB * C       # 64 lanes
-N = H * W        # out pixels per pair-batch elem
-
+N = H * W
 rng = np.random.RandomState(0)
 
-def timed(name, fn, *args, n_small=2, n_big=12):
-    """Chained calls, scalar fetch; slope between n_small and n_big."""
-    f = jax.jit(fn)
-    out = f(*args)
-    s0 = jnp.asarray(out).ravel()[0]  # force one exec (compile)
-    float(s0)
-    def chain(n):
-        t0 = time.perf_counter()
-        acc = jnp.float32(0)
-        a = args[0]
-        for i in range(n):
-            o = f(a + acc.astype(a.dtype) * 0, *args[1:])   # chain dependence
-            acc = acc + jnp.asarray(o).ravel()[0].astype(jnp.float32)
-        float(acc)
-        return time.perf_counter() - t0
-    t_small, t_big = chain(n_small), chain(n_big)
-    per = (t_big - t_small) / (n_big - n_small)
-    print(f"{name}: {per*1e3:8.3f} ms/call", flush=True)
+def timed(name, make_loop, reps=(4, 32)):
+    fs = {n: jax.jit(functools.partial(make_loop, n)) for n in reps}
+    for n, f in fs.items():
+        float(f())  # compile + settle
+    t = {}
+    for n, f in fs.items():
+        t0 = time.perf_counter(); float(f()); t[n] = time.perf_counter() - t0
+    n0, n1 = reps
+    per = (t[n1] - t[n0]) / (n1 - n0)
+    print(f"{name}: {per*1e3:9.3f} ms/call  (totals {t[n0]:.2f}s/{t[n1]:.2f}s)", flush=True)
     return per
 
-which = sys.argv[1] if len(sys.argv) > 1 else "all"
+which = sys.argv[1]
 
-# ---- 1. current flat per-pair gather (what grid_sample does today) ----
-if which in ("all", "flat"):
-    img = jnp.asarray(rng.rand(PB, N, C).astype(np.float32))
-    idx = jnp.asarray(rng.randint(0, N, (PB, N, 1)).astype(np.int32))
-    timed("flat  taa [PB,N,C] idx [PB,N,1]", lambda a, i: jnp.take_along_axis(a, i, axis=1), img, idx)
-
-# ---- 2. XLA columnar gather: [S, 64] lanes ----
-if which in ("all", "col"):
+if which == "flat":
+    img = jnp.asarray(rng.rand(16, N, 1).astype(np.float32))
+    idx0 = jnp.asarray(rng.randint(0, N, (16, N, 1)).astype(np.int32))
+    def loop(n):
+        def body(k, acc):
+            i = (idx0 + k) % N
+            g = jnp.take_along_axis(img, i, axis=1)
+            return acc + g[0, 0, 0]
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+    timed("flat taa [16,N,1] 1ch", loop)
+elif which == "col":
+    L = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     src = jnp.asarray(rng.rand(N, L).astype(np.float32))
-    idx = jnp.asarray(rng.randint(0, N, (N, L)).astype(np.int32))
-    timed("xla columnar taa [S,64] idx [S,64]", lambda a, i: jnp.take_along_axis(a, i, axis=0), src, idx)
-
-# ---- 3. pallas equal-shape ax0 gather, S sweep ----
-def pallas_gather_ax0(S, lanes=128):
+    idx0 = jnp.asarray(rng.randint(0, N, (N, L)).astype(np.int32))
+    def loop(n):
+        def body(k, acc):
+            i = (idx0 + k) % N
+            g = jnp.take_along_axis(src, i, axis=0)
+            return acc + g[0, 0]
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+    timed(f"xla columnar taa [N,{L}]", loop)
+elif which == "pallas":
+    S = int(sys.argv[2])
     def kernel(src_ref, idx_ref, out_ref):
         out_ref[:] = jnp.take_along_axis(src_ref[:], idx_ref[:], axis=0)
     def call(s, i):
         return pl.pallas_call(kernel,
-            out_shape=jax.ShapeDtypeStruct((S, lanes), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((S, 128), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(s, i)
-    return call
-
-if which in ("all", "pallas"):
-    for S in (256, 1024, 4096, 16384):
-        src = jnp.asarray(rng.rand(S, 128).astype(np.float32))
-        idx = jnp.asarray(rng.randint(0, S, (S, 128)).astype(np.int32))
-        per = timed(f"pallas ax0 S={S:5d} [S,128]", pallas_gather_ax0(S), src, idx)
-        vals = S * 128
-        print(f"      -> {vals/per/1e9:.2f} G gathered vals/s", flush=True)
+    src = jnp.asarray(rng.rand(S, 128).astype(np.float32))
+    idx0 = jnp.asarray(rng.randint(0, S, (S, 128)).astype(np.int32))
+    def loop(n):
+        def body(k, acc):
+            g = call(src, (idx0 + k) % S)
+            return acc + g[0, 0]
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+    per = timed(f"pallas ax0 [S={S},128]", loop)
+    print(f"      -> {S*128/per/1e9:.2f} G vals/s", flush=True)
+elif which == "pallas_lane":
+    S = int(sys.argv[2])  # lanes dimension gathered along axis=1, src [128, S]
+    def kernel(src_ref, idx_ref, out_ref):
+        out_ref[:] = jnp.take_along_axis(src_ref[:], idx_ref[:], axis=1)
+    def call(s, i):
+        return pl.pallas_call(kernel,
+            out_shape=jax.ShapeDtypeStruct((128, S), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(s, i)
+    src = jnp.asarray(rng.rand(128, S).astype(np.float32))
+    idx0 = jnp.asarray(rng.randint(0, S, (128, S)).astype(np.int32))
+    def loop(n):
+        def body(k, acc):
+            g = call(src, (idx0 + k) % S)
+            return acc + g[0, 0]
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+    per = timed(f"pallas ax1 [128,S={S}]", loop)
+    print(f"      -> {S*128/per/1e9:.2f} G vals/s", flush=True)
