@@ -14,6 +14,7 @@ Layout conventions (TPU-native, NHWC):
 
 from __future__ import annotations
 
+import re
 from typing import Tuple
 
 import jax
@@ -196,6 +197,22 @@ def inverse_warp(
     return projected_img, valid
 
 
+_SAMPLER_RE = re.compile(r"^(gather|mxu|band(\d+)?)$")
+
+
+def validate_sampler(sampler: str) -> None:
+    """Fail fast on a malformed sampler string (e.g. 'bands64', 'band_96').
+
+    Without this, the ``int(sampler[4:])`` band-width parse only surfaces
+    as an opaque ValueError deep inside jit tracing.
+    """
+    if not isinstance(sampler, str) or not _SAMPLER_RE.match(sampler):
+        raise ValueError(
+            f"unknown sampler {sampler!r}: expected 'gather', 'mxu', "
+            "'band', or 'band<N>' (e.g. 'band64')"
+        )
+
+
 def inverse_warp2(
     img: jax.Array,
     depth: jax.Array,
@@ -239,9 +256,20 @@ def inverse_warp2(
        valid_mask ``[B, H, W, 1]`` float,
        projected_depth ``[B, H, W, 1]`` source depth sampled at the warp,
        computed_depth ``[B, H, W, 1]`` depth of transformed target points).
+
+    Gradient semantics: ``img`` is treated as non-differentiable input data
+    (``stop_gradient`` is applied before sampling) — ``d(projected_img)/
+    d(img)`` is identically zero for every sampler. In SC-Depth training the
+    source image is a camera frame, never a network output, so this only
+    removes the sampler's scatter-add transpose from the backward pass;
+    gradients still flow through the coordinates (to depth + pose) and
+    through ``projected_depth``. Callers that need image-value gradients
+    should call ``ops.grid_sample`` directly.
     """
     from .grid_sample import grid_sample
     from .warp_mxu import grid_sample_mxu
+
+    validate_sampler(sampler)
 
     cam_coords = pixel2cam(depth[..., 0], jnp.linalg.inv(intrinsics))
     pose_mat = pose_vec2mat(pose)

@@ -135,6 +135,7 @@ def photo_and_geometry_loss(
     with_auto_mask: bool = False,
     padding_mode: str = "zeros",
     sampler: str = "gather",
+    sample_mask: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Bidirectional photometric + geometry-consistency loss over a snippet.
 
@@ -151,6 +152,10 @@ def photo_and_geometry_loss(
       ref_depths: per-scale list of ``[B, N, h_s, w_s, 1]`` reference depths.
       poses: ``[B, N, 6]`` target->ref poses.
       poses_inv: ``[B, N, 6]`` ref->target poses.
+      sample_mask: optional ``[B]`` 0/1 weights — samples with weight 0
+        (e.g. the loader's padded duplicates in the trailing validation
+        batch) are excluded from every masked mean exactly as if the batch
+        had been smaller.
 
     Returns:
       (photo_loss, geometry_loss) scalars, summed over pairs and scales.
@@ -202,6 +207,12 @@ def photo_and_geometry_loss(
         )
         warped_c = nchw(warped)
         valid_c = nchw(valid)  # [F, 1, H, W]
+        if sample_mask is not None:
+            # Pair f = g*B + i holds sample i; zeroing its validity removes
+            # it from numerator AND denominator of the grouped masked mean.
+            valid_c = valid_c * jnp.tile(
+                sample_mask.astype(valid_c.dtype), 2 * n
+            )[:, None, None, None]
 
         diff_img = jnp.clip(jnp.abs(tgt_c - warped_c), 0.0, 1.0)
         diff_depth = jnp.clip(
@@ -234,7 +245,20 @@ def photo_and_geometry_loss(
     return photo_total, geom_total
 
 
-def _smooth_one(depth: jax.Array, img: jax.Array) -> jax.Array:
+def _sample_mean(x: jax.Array, sample_mask: jax.Array) -> jax.Array:
+    """Mean over ``[B, ...]`` restricted to samples with weight 1 — equal to
+    ``jnp.mean`` of the sub-batch the mask selects."""
+    if sample_mask is None:
+        return jnp.mean(x)
+    w = sample_mask.astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
+    per_sample = x.size // x.shape[0]
+    denom = jnp.maximum(jnp.sum(w), 1.0) * per_sample
+    return jnp.sum(x * w) / denom
+
+
+def _smooth_one(
+    depth: jax.Array, img: jax.Array, sample_mask: jax.Array = None
+) -> jax.Array:
     """Edge-aware smoothness for one frame group ``[B, H, W, 1]`` -> scalar.
 
     Reference: loss_functions.py:133-152 (mean-normalized depth, first-order
@@ -253,8 +277,8 @@ def _smooth_one(depth: jax.Array, img: jax.Array) -> jax.Array:
         jnp.abs(img[:, :-1] - img[:, 1:]), axis=-1, keepdims=True
     )
 
-    return jnp.mean(grad_dx * jnp.exp(-grad_ix)) + jnp.mean(
-        grad_dy * jnp.exp(-grad_iy)
+    return _sample_mean(grad_dx * jnp.exp(-grad_ix), sample_mask) + _sample_mean(
+        grad_dy * jnp.exp(-grad_iy), sample_mask
     )
 
 
@@ -263,16 +287,19 @@ def smooth_loss(
     tgt_img: jax.Array,
     ref_depths: Sequence[jax.Array],
     ref_imgs: jax.Array,
+    sample_mask: jax.Array = None,
 ) -> jax.Array:
     """Scale-0 edge-aware smoothness summed over all snippet frames.
 
     Reference: loss_functions.py:132-159. ``ref_depths[0]`` is
     ``[B, N, H, W, 1]`` and ``ref_imgs`` is ``[B, N, H, W, 3]``; all frames
-    are folded into one batched evaluation per frame-group.
+    are folded into one batched evaluation per frame-group. ``sample_mask``
+    (``[B]`` 0/1): excluded samples contribute to no mean (loader padding,
+    see photo_and_geometry_loss).
     """
-    loss = _smooth_one(tgt_depth[0], tgt_img)
+    loss = _smooth_one(tgt_depth[0], tgt_img, sample_mask)
     ref_d = ref_depths[0]
     n = ref_d.shape[1]
     for i in range(n):
-        loss += _smooth_one(ref_d[:, i], ref_imgs[:, i])
+        loss += _smooth_one(ref_d[:, i], ref_imgs[:, i], sample_mask)
     return loss

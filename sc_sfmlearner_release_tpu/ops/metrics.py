@@ -88,7 +88,8 @@ def _errors_one(
 
 
 def compute_depth_errors(
-    gt: jax.Array, pred: jax.Array, dataset: str = "kitti"
+    gt: jax.Array, pred: jax.Array, dataset: str = "kitti",
+    n_valid=None,
 ) -> Dict[str, jax.Array]:
     """Batch depth metrics with per-image median scaling.
 
@@ -96,6 +97,11 @@ def compute_depth_errors(
       gt: ``[B, H, W]`` ground-truth depth (0 = missing).
       pred: ``[B, H, W]`` predicted depth.
       dataset: ``"kitti"`` (Garg crop, 80m cap) or ``"nyu"``.
+      n_valid: optional scalar (traced ok) — only the first ``n_valid``
+        images contribute to the batch means. The loader pads the trailing
+        validation batch by repeating the last sample (data/loader.py);
+        without this the duplicates bias that batch's statistics (the
+        reference averages true samples only, train.py:365-423).
 
     Returns:
       Dict of scalar metrics, each the mean of per-image masked statistics
@@ -108,4 +114,8 @@ def compute_depth_errors(
     max_depth = _CROPS[dataset][4]
 
     per_image = jax.vmap(lambda g, p: _errors_one(g, p, crop, max_depth))(gt, pred)
-    return {k: jnp.mean(v) for k, v in per_image.items()}
+    if n_valid is None:
+        return {k: jnp.mean(v) for k, v in per_image.items()}
+    w_s = (jnp.arange(gt.shape[0]) < n_valid).astype(gt.dtype)
+    denom = jnp.maximum(jnp.sum(w_s), 1.0)
+    return {k: jnp.sum(v * w_s) / denom for k, v in per_image.items()}

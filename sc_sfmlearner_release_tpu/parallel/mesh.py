@@ -70,7 +70,8 @@ def _spec_for(key: str, ndim: int, mesh: Mesh, axis_name: str, offset: int = 0):
     ``spatial`` for the known image-like keys. ``offset=1`` handles stacked
     fused-step batches ([K, B, ...]): the leading scan axis is replicated
     and every other axis shifts right by one."""
-    parts = [None] * offset + [axis_name] + [None] * (ndim - 1 - offset)
+    # Scalars (e.g. the trailing-batch "n_valid" count) replicate.
+    parts = ([None] * offset + [axis_name] + [None] * (ndim - 1 - offset))[:ndim]
     if (
         SPATIAL_AXIS in mesh.axis_names
         and mesh.shape[SPATIAL_AXIS] > 1

@@ -48,6 +48,11 @@ class LossConfig:
     # values/s) in the hot path; "mxu" is the round-1 unbanded variant.
     sampler: str = "gather"
 
+    def __post_init__(self):
+        from ..ops.geometry import validate_sampler
+
+        validate_sampler(self.sampler)
+
 
 def _frames_to_batch(tgt: jax.Array, refs: jax.Array) -> jax.Array:
     """[B,H,W,3] + [B,N,H,W,3] -> frame-major [(1+N)*B, H, W, 3]."""
@@ -123,6 +128,7 @@ def _total_loss(
     cfg: LossConfig,
     train: bool,
     remat: bool = False,
+    sample_mask: jax.Array = None,
 ):
     tgt, refs, intrinsics = batch["tgt"], batch["refs"], batch["intrinsics"]
 
@@ -141,8 +147,9 @@ def _total_loss(
             with_auto_mask=cfg.with_auto_mask,
             padding_mode=cfg.padding_mode,
             sampler=cfg.sampler,
+            sample_mask=sample_mask,
         )
-        smooth = smooth_loss(tgt_depth, tgt, ref_depths, refs)
+        smooth = smooth_loss(tgt_depth, tgt, ref_depths, refs, sample_mask)
         return photo, geom, smooth
 
     if remat:
@@ -204,9 +211,12 @@ def make_train_step(
     the compute is ~0.6 ms/step but each dispatch costs several ms of
     host/runtime latency, so fusing K steps is a ~9x throughput lever at
     small batch (measured on v5e). Metrics come back with a leading [K]
-    axis, one entry per optimizer step — identical values to K unfused
+    axis, one entry per optimizer step — the same computation as K unfused
     calls (the augmentation stream is keyed by ``state.step``, which
-    advances inside the scan exactly as it would outside).
+    advances inside the scan exactly as it would outside). Numerically the
+    scanned and unfused programs fuse/reduce in different orders, so
+    results agree to fp32 reduction-order noise, not bitwise; Adam
+    amplifies that noise on components where ``v ~ 0``.
     """
 
     def one_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
@@ -244,13 +254,24 @@ def make_eval_step(disp_model, pose_model, cfg: LossConfig):
     """Photometric validation without GT (reference: train.py:302-362):
     same losses in eval mode, auto-mask disabled, and ALWAYS at scale 0
     only — the reference validator builds `tgt_depth = [1/disp_net(tgt)]`
-    (train.py:322-326) regardless of the training `--num-scales`."""
+    (train.py:322-326) regardless of the training `--num-scales`.
+
+    If the batch carries ``"n_valid"`` (the loader pads the trailing
+    validation batch by repeating the last sample), the padded duplicates
+    are masked out of every mean — the metrics equal those of the true
+    smaller batch, matching the reference's per-sample averaging."""
     eval_cfg = dataclasses.replace(cfg, with_auto_mask=False, num_scales=1)
 
     def eval_step(state: TrainState, batch) -> Dict[str, jax.Array]:
+        sample_mask = None
+        if "n_valid" in batch:
+            b = batch["tgt"].shape[0]
+            sample_mask = (
+                jnp.arange(b) < batch["n_valid"]
+            ).astype(batch["tgt"].dtype)
         _, (metrics, _) = _total_loss(
             disp_model, pose_model, state.params, state.batch_stats,
-            batch, eval_cfg, False,
+            batch, eval_cfg, False, sample_mask=sample_mask,
         )
         return metrics
 
@@ -259,7 +280,9 @@ def make_eval_step(disp_model, pose_model, cfg: LossConfig):
 
 def make_eval_depth_step(disp_model, dataset: str = "kitti"):
     """GT-depth validation (reference: train.py:365-423): scale-0 disparity
-    -> depth -> masked/median-scaled error metrics, entirely on device."""
+    -> depth -> masked/median-scaled error metrics, entirely on device.
+    ``batch["n_valid"]`` (if present) masks the loader's padded duplicate
+    samples out of the batch means."""
 
     @functools.partial(jax.jit, static_argnums=())
     def eval_depth_step(state: TrainState, batch) -> Dict[str, jax.Array]:
@@ -279,7 +302,9 @@ def make_eval_depth_step(disp_model, dataset: str = "kitti"):
             pred_depth = jax.image.resize(
                 pred_depth, (pred_depth.shape[0],) + gt.shape[1:], method="nearest"
             )
-        return compute_depth_errors(gt, pred_depth, dataset)
+        return compute_depth_errors(
+            gt, pred_depth, dataset, n_valid=batch.get("n_valid")
+        )
 
     return eval_depth_step
 

@@ -122,7 +122,12 @@ class TermLogger:
         self.out.flush()
 
     def _row(self, offset: int) -> int:
-        return self.height - self._BLOCK + offset
+        # Re-read the terminal size on every render (handles resizes
+        # without a SIGWINCH handler) and clamp to row 1 so terminals
+        # shorter than the reserved block never get non-positive ANSI row
+        # numbers (which scramble output).
+        self.height = shutil.get_terminal_size().lines
+        return max(1, self.height - self._BLOCK + offset)
 
     def _put(self, offset: int, text: str) -> None:
         # Save cursor, jump to the pinned row, clear it, write, restore.
@@ -167,9 +172,16 @@ class TermLogger:
 
 
 def make_logger(n_epochs: int, train_size: int, valid_size: int,
-                style: str = "auto"):
+                style: str = "auto", is_main: bool = True):
     """Pick the terminal UI: fixed-position bars on a TTY, plain lines
-    otherwise (or force with ``style`` = "bars" / "line")."""
+    otherwise (or force with ``style`` = "bars" / "line").
+
+    Non-main processes (multi-host runs) always get the plain logger:
+    several TermLoggers writing pinned ANSI rows to one shared TTY would
+    scramble each other.
+    """
+    if not is_main:
+        return ProgressLogger(n_epochs, train_size, valid_size)
     if style == "bars" or (style == "auto" and sys.stdout.isatty()):
         return TermLogger(n_epochs, train_size, valid_size)
     return ProgressLogger(n_epochs, train_size, valid_size)

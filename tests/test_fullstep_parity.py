@@ -21,6 +21,8 @@ batched call, so train-mode batch statistics legitimately differ by design
 makes every remaining operation comparable bit-for-bit-ish (<=1e-4 rel).
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -204,27 +206,41 @@ def test_fullstep_loss_and_grads_match_reference(cfg):
 
 
 @pytest.mark.slow
-def test_fullstep_fp32_production_dtype_close():
-    """Same check at the production fp32 dtype: both sides carry different
-    reduction orders, so the bound is the observed fp32 noise envelope
-    (~4e-4 rel on the largest grad components) — a sanity net that the
-    shipped dtype path is the same computation."""
+@pytest.mark.parametrize(
+    "sampler,loss_rtol,grad_rtol",
+    [
+        # gather: torch-exact sampler — the bound is the observed fp32
+        # reduction-order noise envelope (~4e-4 rel on the largest grads).
+        ("gather", 5e-4, 2e-3),
+        # band64: the PRODUCTION TPU sampler (ops/warp_band.py). Image
+        # values ride bf16 channels (~4e-3 abs on [0,1] images; sampled
+        # depth recombines to fp32 via hi/lo splitting), so the envelope
+        # vs the torch oracle is the op-level band-vs-gather bound
+        # (tests/test_warp_band.py) composed through the loss.
+        ("band64", 5e-3, 3e-2),
+    ],
+)
+def test_fullstep_fp32_production_dtype_close(sampler, loss_rtol, grad_rtol):
+    """Full-step loss+grad parity at the production fp32 dtype, for BOTH the
+    torch-exact gather sampler and the shipped band64 MXU sampler — the
+    band64 case holds the production math to the same end-to-end assertion
+    as gather (the math we ship IS the math we prove)."""
     cfg = LossConfig(num_scales=1, with_ssim=True, with_mask=True,
-                     with_auto_mask=True)
+                     with_auto_mask=True, sampler=sampler)
     batch = _make_batch()
     tdisp, tpose, dv, pv = _nets()
     t_metrics, t_disp_grads, t_pose_grads = _torch_reference_step(
-        tdisp, tpose, batch, cfg
+        tdisp, tpose, batch, dataclasses.replace(cfg, sampler="gather")
     )
     j_metrics, j_grads = _jax_step(dv, pv, batch, cfg)
     for k in ("loss", "photo_loss", "smooth_loss", "geometry_loss"):
         np.testing.assert_allclose(
-            float(j_metrics[k]), t_metrics[k], rtol=5e-4, err_msg=k
+            float(j_metrics[k]), t_metrics[k], rtol=loss_rtol, err_msg=k
         )
     t_disp_tree = convert_disp_checkpoint(t_disp_grads, 18)["params"]
     t_pose_tree = convert_pose_checkpoint(t_pose_grads, 18)["params"]
-    _assert_tree_close(j_grads["disp"], t_disp_tree, 2e-3, "disp grad ")
-    _assert_tree_close(j_grads["pose"], t_pose_tree, 2e-3, "pose grad ")
+    _assert_tree_close(j_grads["disp"], t_disp_tree, grad_rtol, "disp grad ")
+    _assert_tree_close(j_grads["pose"], t_pose_tree, grad_rtol, "pose grad ")
 
 
 @pytest.mark.slow

@@ -1,0 +1,131 @@
+"""REAL two-process multi-host execution (SURVEY.md §5.8).
+
+Spawns two actual OS processes that call `jax.distributed.initialize`
+against a local coordinator (CPU backend, one device per process), feed
+per-process loader slices through the production
+`shard_batch` -> `jax.make_array_from_process_local_data` path
+(parallel/mesh.py), and run one jitted train step over the global 2-device
+mesh. Asserts both processes finish with IDENTICAL parameters that match
+the single-process result on the same global batch — turning the
+multi-host wiring of train.py:214-223 from "wired" into "proven".
+
+The reference has no multi-process story at all (torch.nn.DataParallel
+only, /root/reference/train.py:168-169).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env() -> dict:
+    env = dict(os.environ)
+    # Isolated JAX config: plain CPU (ONE local device per process — the
+    # parent conftest's 8-virtual-device XLA_FLAGS must not leak), full XLA
+    # optimization (GSPMD-partitioned programs abort on XLA:CPU under
+    # jax_disable_most_optimizations), shared persistent compile cache.
+    env.pop("JAX_DISABLE_MOST_OPTIMIZATIONS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache"
+    )
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(HERE), HERE, env.get("PYTHONPATH", "")]
+    )
+    return env
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single_process(tmp_path):
+    port = _free_port()
+    env = _worker_env()
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"params_{pid}.npz"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, os.path.join(HERE, "mp_worker.py"),
+                    "--coordinator", f"localhost:{port}",
+                    "--process-id", str(pid),
+                    "--num-processes", "2",
+                    "--out", str(out),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    with np.load(outs[0]) as f0, np.load(outs[1]) as f1:
+        keys = sorted(k for k in f0.files if k.startswith("leaf_"))
+        assert keys and sorted(
+            k for k in f1.files if k.startswith("leaf_")
+        ) == keys
+        # Both processes computed the SAME program over the SAME global
+        # mesh: their replicated parameter copies must agree bitwise.
+        for k in keys:
+            np.testing.assert_array_equal(f0[k], f1[k], err_msg=k)
+        np.testing.assert_array_equal(f0["loss"], f1["loss"])
+
+        # Single-process oracle: the same global batch through the same
+        # step on one device. Global-batch semantics (sync-BN, mean grads)
+        # make this the same computation up to fp32 reduction order.
+        import jax
+        from mp_worker import B_GLOBAL, H, W, SyntheticSequenceSet
+        from sc_sfmlearner_release_tpu.data.loader import BatchLoader
+        from sc_sfmlearner_release_tpu.models import DispNet, PoseNet
+        from sc_sfmlearner_release_tpu.training import (
+            LossConfig, create_train_state, make_optimizer, make_train_step,
+        )
+
+        disp, pose = DispNet(num_layers=18), PoseNet(num_layers=18)
+        tx = make_optimizer(lr=1e-3)
+        state = create_train_state(
+            disp, pose, tx, jax.random.PRNGKey(0), image_shape=(1, H, W, 3)
+        )
+        step = make_train_step(disp, pose, tx, LossConfig())
+        loader = BatchLoader(
+            SyntheticSequenceSet(), batch_size=B_GLOBAL, shuffle=False,
+            num_workers=1, drop_last=True,
+        )
+        batch = next(iter(loader))
+        batch.pop("_n_valid", None)
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+        leaves = [
+            np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)
+        ]
+        assert len(leaves) == len(keys)
+        net_scale = max(np.abs(a).max() for a in leaves)
+        for k, ref in zip(keys, leaves):
+            np.testing.assert_allclose(
+                f0[k], ref, rtol=1e-4, atol=1e-4 * net_scale, err_msg=k
+            )

@@ -132,6 +132,63 @@ def test_train_step_sharded_over_mesh():
     assert float(metrics2["loss"]) < float(metrics["loss"]) * 1.5  # sane trend
 
 
+def test_eval_steps_mask_padded_duplicates():
+    """Trailing-batch padding must not bias validation: a padded batch with
+    ``n_valid=1`` yields the same metrics as the true 1-sample batch
+    (reference averages true samples only, /root/reference/train.py:365-423).
+    64x64 so the photometric mean clears the >10000-element guard at B=1."""
+    hp = wp = 64
+    disp, pose = _models()
+    tx = make_optimizer()
+    state = create_train_state(
+        disp, pose, tx, jax.random.PRNGKey(0), image_shape=(1, hp, wp, 3)
+    )
+    rng = np.random.RandomState(7)
+    k = np.array([[30.0, 0, wp / 2], [0, 30.0, hp / 2], [0, 0, 1]], np.float32)
+
+    def batch_of(b):
+        return {
+            "tgt": jnp.asarray(rng.rand(b, hp, wp, 3).astype(np.float32)),
+            "refs": jnp.asarray(rng.rand(b, N, hp, wp, 3).astype(np.float32)),
+            "intrinsics": jnp.asarray(np.broadcast_to(k, (b, 3, 3))),
+        }
+
+    true_batch = batch_of(1)
+    pad = batch_of(1)  # deliberately DIFFERENT content in the padded slot
+    padded = {
+        key: jnp.concatenate([true_batch[key], pad[key]])
+        for key in true_batch
+    }
+    padded["n_valid"] = jnp.asarray(1, jnp.int32)
+
+    eval_step = make_eval_step(disp, pose, LossConfig())
+    m_true = eval_step(state, true_batch)
+    m_padded = eval_step(state, padded)
+    for key in ("photo_loss", "smooth_loss", "geometry_loss"):
+        np.testing.assert_allclose(
+            float(m_padded[key]), float(m_true[key]), rtol=1e-5, err_msg=key
+        )
+
+    eval_depth = make_eval_depth_step(disp, dataset="nyu")
+    img = rng.rand(2, hp, wp, 3).astype(np.float32)
+    depth = (1 + rng.rand(2, hp, wp) * 5).astype(np.float32)
+    e_true = eval_depth(
+        state, {"img": jnp.asarray(img[:1]), "depth": jnp.asarray(depth[:1])}
+    )
+    e_padded = eval_depth(
+        state,
+        {
+            "img": jnp.asarray(img),
+            "depth": jnp.asarray(depth),
+            "n_valid": jnp.asarray(1, jnp.int32),
+        },
+    )
+    for key in ("abs_rel", "a1", "rmse"):
+        np.testing.assert_allclose(
+            float(e_padded[key]), float(e_true[key]), rtol=1e-5, err_msg=key
+        )
+
+
 def test_checkpoint_roundtrip():
     disp, pose = _models()
     tx = make_optimizer(lr=1e-3)
@@ -211,16 +268,37 @@ def test_fused_steps_match_sequential():
     np.testing.assert_allclose(
         np.asarray(mK["loss"]), np.asarray(seq_losses), rtol=1e-5, atol=1e-6
     )
-    for a, b in zip(
-        jax.tree_util.tree_leaves(state_fused.params),
-        jax.tree_util.tree_leaves(state_seq.params),
-    ):
-        # The scanned and unfused programs fuse/reduce in different orders;
-        # Adam's m/(sqrt(v)+eps) amplifies those ulp-level grad differences
-        # where v ~ 0, so params agree to ~1e-5 abs after K steps, not 1e-6.
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5
-        )
+    # The scanned and unfused programs fuse/reduce in different orders. For
+    # parameters with near-zero gradient, Adam's m/(sqrt(v)+eps) turns that
+    # ulp-level gradient noise into a full update-direction flip (observed:
+    # ~1e-4 of elements diverging by up to ~1.5e-3 after 3 steps at
+    # lr=1e-3), so NO fixed elementwise tolerance below lr*K is robust
+    # across machines. Two checks that are:
+    #   1. elementwise: |diff| can never exceed the maximum possible Adam
+    #      divergence, 2*lr*K (each step's update magnitude is ~lr under
+    #      bias correction);
+    #   2. trajectory: the L2 norm of the parameter disagreement must be
+    #      a tiny fraction of the L2 norm of the 3-step update itself —
+    #      sensitive to any real semantic bug (wrong batch order, stale
+    #      state, dropped step), which perturbs updates at O(100%).
+    LR, max_div = 1e-3, 2 * 3 * 1e-3
+    init_leaves = [
+        np.asarray(x) for x in jax.tree_util.tree_leaves(_state(tx).params)
+    ]
+    seq_leaves = [
+        np.asarray(x) for x in jax.tree_util.tree_leaves(state_seq.params)
+    ]
+    fused_leaves = [
+        np.asarray(x) for x in jax.tree_util.tree_leaves(state_fused.params)
+    ]
+    diff_sq = upd_sq = 0.0
+    for a, b, i0 in zip(fused_leaves, seq_leaves, init_leaves):
+        np.testing.assert_array_less(np.abs(a - b), max_div + 1e-6)
+        diff_sq += float(np.sum((a - b) ** 2))
+        upd_sq += float(np.sum((b - i0) ** 2))
+    assert upd_sq > 0, "sequential run did not update parameters"
+    rel = np.sqrt(diff_sq / upd_sq)
+    assert rel < 0.02, f"fused/sequential trajectories diverge: {rel:.4f}"
 
 
 @pytest.mark.slow

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Wall-clock ablation of the production fused train step.
+
+Per-op traces on the tunneled TPU are unusable for attribution (the
+profiler's per-event overhead inflates device time ~5x — ~6400 op events
+per step), so this tool attributes cost by MEASURING variants of the step
+with one component changed at a time, using the same chained-dispatch
+slope protocol as bench.py (warm, then slope between a 2-dispatch and an
+n-dispatch chain).
+
+Usage: python tools/ablate_step.py [--configs full,no_ssim,...] [--n 12]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+
+import numpy as np
+
+B, N, H, W = 4, 2, 256, 832
+FUSED = 16
+
+
+def build(variant: dict):
+    import jax
+    import jax.numpy as jnp
+
+    from sc_sfmlearner_release_tpu.data.device_augment import (
+        AugmentConfig, make_device_augment,
+    )
+    from sc_sfmlearner_release_tpu.models import DispNet, PoseNet
+    from sc_sfmlearner_release_tpu.parallel import (
+        make_mesh, replicate, shard_batch,
+    )
+    from sc_sfmlearner_release_tpu.training import (
+        LossConfig, create_train_state, make_optimizer, make_train_step,
+    )
+
+    mesh = make_mesh()
+    k = np.array(
+        [[241.67, 0, W / 2], [0, 246.28, H / 2], [0, 0, 1]], np.float32
+    )
+    r = np.random.RandomState(0)
+    augment = variant.get("augment", True)
+    host = {
+        "tgt": r.randint(0, 256, (FUSED, B, H, W, 3), np.uint8),
+        "refs": r.randint(0, 256, (FUSED, B, N, H, W, 3), np.uint8),
+        "intrinsics": np.broadcast_to(k, (FUSED, B, 3, 3)).copy(),
+    }
+    if not augment:
+        host["tgt"] = host["tgt"].astype(np.float32) / 255.0
+        host["refs"] = host["refs"].astype(np.float32) / 255.0
+
+    disp = DispNet(num_layers=18, dtype=jnp.bfloat16)
+    pose = PoseNet(num_layers=18, dtype=jnp.bfloat16)
+    tx = make_optimizer(1e-4)
+    state = create_train_state(disp, pose, tx, jax.random.PRNGKey(0))
+    state = replicate(state, mesh)
+
+    if variant.get("convs_only"):
+        # Networks fwd+bwd+Adam only: dummy sum loss in place of the
+        # warp/photometric chain — isolates the conv-stack cost.
+        import optax
+
+        from sc_sfmlearner_release_tpu.training.step import (
+            compute_depth, compute_pose_with_inv,
+        )
+
+        aug = make_device_augment(AugmentConfig()) if augment else None
+
+        def one(state, batch):
+            if aug is not None:
+                key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+                batch = aug(key, batch)
+
+            def loss_fn(params):
+                td, rd, ds = compute_depth(
+                    disp,
+                    {"params": params["disp"],
+                     "batch_stats": state.batch_stats["disp"]},
+                    batch["tgt"], batch["refs"], True,
+                )
+                p, pi, ps = compute_pose_with_inv(
+                    pose,
+                    {"params": params["pose"],
+                     "batch_stats": state.batch_stats["pose"]},
+                    batch["tgt"], batch["refs"], True,
+                )
+                s = sum(jnp.sum(t.astype(jnp.float32)) for t in td)
+                s += jnp.sum(p) + jnp.sum(pi)
+                return s * 1e-6, {"disp": ds, "pose": ps}
+
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params)
+            return state.replace(
+                step=state.step + 1,
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=stats, opt_state=opt_state,
+            ), {"loss": loss[None]}
+
+        def fused(state, batches):
+            return jax.lax.scan(one, state, batches)
+
+        step = jax.jit(fused, donate_argnums=(0,))
+    else:
+        cfg = LossConfig(
+            num_scales=1,
+            with_ssim=variant.get("ssim", True),
+            with_mask=variant.get("mask", True),
+            with_auto_mask=variant.get("auto_mask", True),
+            sampler=variant.get("sampler", "band64"),
+        )
+        step = make_train_step(
+            disp, pose, tx, cfg,
+            augment_fn=make_device_augment(AugmentConfig())
+            if augment else None,
+            fused_steps=FUSED,
+            remat=variant.get("remat", False),
+        )
+    batch = shard_batch(host, mesh, stacked=True)
+    pick = jax.jit(lambda m: m["loss"].ravel()[-1].astype(jnp.float32))
+    return step, state, batch, pick
+
+
+CONFIGS = {
+    "full": {},
+    "no_ssim": {"ssim": False},
+    "no_masks": {"mask": False, "auto_mask": False},
+    "plain_l1": {"ssim": False, "mask": False, "auto_mask": False},
+    "no_augment": {"augment": False},
+    "band32": {"sampler": "band32"},
+    "band48": {"sampler": "band48"},
+    "band96": {"sampler": "band96"},
+    "convs_only": {"convs_only": True},
+    "convs_only_noaug": {"convs_only": True, "augment": False},
+    "remat": {"remat": True},
+}
+
+
+def measure(name: str, n: int) -> float:
+    t_build = time.perf_counter()
+    step, state, batch, pick = build(CONFIGS[name])
+    state, m = step(state, batch)
+    float(pick(m))
+    compile_s = time.perf_counter() - t_build
+
+    def chain(state, k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, mm = step(state, batch)
+        float(pick(mm))
+        return state, time.perf_counter() - t0
+
+    state, t2 = chain(state, 2)
+    state, t2b = chain(state, 2)  # first post-warm chain can be an outlier
+    t2 = min(t2, t2b)
+    state, tn = chain(state, n)
+    slope = (tn - t2) / (n - 2) / FUSED
+    print(
+        f"{name:18s} {slope * 1e3:8.1f} ms/step   "
+        f"({FUSED * B / (slope * FUSED):6.1f} snippets/s)  "
+        f"[compile+warm {compile_s:.0f}s]",
+        flush=True,
+    )
+    return slope
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", default="full,no_ssim,plain_l1,no_augment,"
+                   "band32,convs_only")
+    p.add_argument("--n", type=int, default=12)
+    args = p.parse_args()
+    for name in args.configs.split(","):
+        try:
+            measure(name.strip(), args.n)
+        except Exception as e:  # keep going; report the failure
+            print(f"{name:18s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

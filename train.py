@@ -467,7 +467,7 @@ def main(argv=None) -> int:
             )
 
     logger = make_logger(args.epochs, epoch_size, len(val_loader),
-                         style=args.log_style)
+                         style=args.log_style, is_main=is_main)
     best_error = -1.0
     n_iter = 0
     profile_done = False
@@ -629,6 +629,7 @@ def _validate_with_gt(args, val_loader, state, eval_depth_step, mesh, shard,
         if args.val_batches and i >= args.val_batches:
             break
         n_valid = int(batch.pop("_n_valid"))
+        batch["n_valid"] = np.asarray(n_valid, np.int32)
         sharded = shard(batch, mesh)
         metrics = eval_depth_step(state, sharded)
         if output_writers and infer_disp is not None:
@@ -650,6 +651,7 @@ def _validate_without_gt(args, val_loader, state, eval_step, mesh, shard,
         if args.val_batches and i >= args.val_batches:
             break
         n_valid = int(batch.pop("_n_valid"))
+        batch["n_valid"] = np.asarray(n_valid, np.int32)
         batch = shard(batch, mesh)
         m = eval_step(state, batch)
         if output_writers and infer_disp is not None:
