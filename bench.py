@@ -25,8 +25,14 @@ the axon loopback relay: a 1.1 TFLOP matmul "synced" in 0.05 ms):
     which cancels the constant fetch round-trip. On a healthy backend this
     reduces to standard steady-state timing.
 
-Host input feed is measured separately (not on the timed path): the packed
-loader's per-step host work is a memmap memcpy (no JPEG decode).
+Host input feed: the default number times pre-staged device batches (pure
+device rate). ``--host-fed`` (also run by default after the device-only
+measurement) times the SAME chain fed end-to-end from the real packed
+loader: a synthetic packed uint8 memmap dataset (data/packed.py wire
+format) -> PackedSequenceSet -> BatchLoader (threaded, sliced) ->
+fused-step stacking -> parallel.device_prefetch. The JSON line reports the
+device-only number as the headline plus ``host_fed_value`` so the input
+pipeline's sustained rate is recorded next to it.
 
 vs_baseline is ESTIMATE-DERIVED: the PyTorch reference does not publish
 throughput; ~5 snippets/s is inferred from its README epoch time
@@ -51,6 +57,69 @@ FUSED = 16
 N_STAGED = 3      # distinct pre-staged stacked batches, cycled
 K_SMALL = 2       # short chain (dispatches)
 MAX_SECONDS = 60  # target device time for the long chain
+
+
+def _make_packed_dir(tmp_dir: str, n_scenes: int = 2, frames_per: int = 220):
+    """Synthetic packed dataset in the production wire format
+    (data/packed.py): one uint8 memmap + index.json."""
+    import json
+
+    from sc_sfmlearner_release_tpu.data.packed import FRAMES_NAME, INDEX_NAME
+
+    n = n_scenes * frames_per
+    frames = np.memmap(
+        f"{tmp_dir}/{FRAMES_NAME}", dtype=np.uint8, mode="w+",
+        shape=(n, H, W, 3),
+    )
+    r = np.random.RandomState(0)
+    for i in range(n):  # per-frame fill keeps peak memory small
+        frames[i] = r.randint(0, 256, (H, W, 3), np.uint8)
+    frames.flush()
+    k = [[241.67, 0, W / 2], [0, 246.28, H / 2], [0, 0, 1]]
+    scenes = {
+        f"s{j}": {"start": j * frames_per, "count": frames_per,
+                  "intrinsics": k}
+        for j in range(n_scenes)
+    }
+    with open(f"{tmp_dir}/{INDEX_NAME}", "w") as f:
+        json.dump({"height": H, "width": W, "n_frames": n,
+                   "scenes": scenes, "train": list(scenes), "val": []}, f)
+    return tmp_dir
+
+
+def _host_fed_batches(packed_dir: str, mesh):
+    """Endless stream of device-staged stacked fused batches from the REAL
+    input pipeline: PackedSequenceSet -> BatchLoader -> fused stacking ->
+    device_prefetch (the `train.py --packed --device-augment --fused-steps`
+    feed path)."""
+    from sc_sfmlearner_release_tpu.data.loader import BatchLoader
+    from sc_sfmlearner_release_tpu.data.packed import PackedSequenceSet
+    from sc_sfmlearner_release_tpu.parallel import device_prefetch
+
+    dataset = PackedSequenceSet(packed_dir, train=True, transform=None)
+    loader = BatchLoader(
+        dataset, batch_size=BATCH, shuffle=True, num_workers=4,
+        drop_last=True,
+    )
+
+    def stacked():
+        epoch = 0
+        while True:
+            loader.set_epoch(epoch)
+            group = []
+            for batch in loader:
+                batch.pop("_n_valid", None)
+                group.append(batch)
+                if len(group) == FUSED:
+                    yield {
+                        key: np.stack([g[key] for g in group])
+                        for key in group[0]
+                    }
+                    group = []
+            epoch += 1
+
+    for staged, _ in device_prefetch(stacked(), mesh, size=2, stacked=True):
+        yield staged
 
 
 def main() -> None:
@@ -136,6 +205,48 @@ def main() -> None:
     snippets_per_sec = FUSED * BATCH / per_dispatch
     per_chip = snippets_per_sec / n_chips
 
+    # ---- end-to-end host-fed measurement (real packed loader) ----
+    host_fed_per_chip = None
+    if "--no-host-fed" not in sys.argv:
+        import shutil
+        import tempfile
+
+        tmp_dir = tempfile.mkdtemp(prefix="bench_packed_")
+        try:
+            t0 = time.perf_counter()
+            _make_packed_dir(tmp_dir)
+            print(f"[bench] packed synthetic dataset in "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+            feed = _host_fed_batches(tmp_dir, mesh)
+
+            def chain_fed(state, n):
+                t0 = time.perf_counter()
+                metrics = None
+                for _ in range(n):
+                    state, metrics = step(state, next(feed))
+                loss = float(pick(metrics))
+                if not np.isfinite(loss):
+                    print(f"[bench] WARNING non-finite loss {loss}",
+                          file=sys.stderr)
+                return state, time.perf_counter() - t0
+
+            state, _ = chain_fed(state, 1)  # settle the pipeline
+            state, tf_small = chain_fed(state, K_SMALL)
+            kf_big = int(max(K_SMALL + 8,
+                             min(64, MAX_SECONDS / max(per_dispatch, 1e-3))))
+            state, tf_big = chain_fed(state, kf_big)
+            fed_slope = (tf_big - tf_small) / (kf_big - K_SMALL)
+            host_fed_per_chip = FUSED * BATCH / fed_slope / n_chips
+            print(
+                f"[bench] host-fed slope over {K_SMALL}->{kf_big} "
+                f"dispatches: {fed_slope * 1e3 / FUSED:.3f} ms/step, "
+                f"{host_fed_per_chip:.1f} snippets/s/chip "
+                f"({100 * host_fed_per_chip / per_chip:.1f}% of "
+                "device-only)", file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+
     print(
         f"[bench] slope over {K_SMALL}->{k_big} chained dispatches "
         f"({k_big * FUSED} steps timed): {per_dispatch * 1e3 / FUSED:.3f} "
@@ -143,19 +254,18 @@ def main() -> None:
         f"(t_small={t_small:.2f}s t_big={t_big:.2f}s)",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "train_snippets_per_sec_per_chip slope-timed "
-                "(r18 depth+pose, b4, 832x256, 3-frame, device-augment, "
-                "fused-16 production step; baseline 5/s is an ESTIMATE "
-                "from the reference README epoch time)",
-                "value": round(per_chip, 3),
-                "unit": "snippets/s/chip",
-                "vs_baseline": round(per_chip / BASELINE_SNIPPETS_PER_SEC_EST, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "train_snippets_per_sec_per_chip slope-timed "
+        "(r18 depth+pose, b4, 832x256, 3-frame, device-augment, "
+        "fused-16 production step; baseline 5/s is an ESTIMATE "
+        "from the reference README epoch time)",
+        "value": round(per_chip, 3),
+        "unit": "snippets/s/chip",
+        "vs_baseline": round(per_chip / BASELINE_SNIPPETS_PER_SEC_EST, 3),
+    }
+    if host_fed_per_chip is not None:
+        record["host_fed_value"] = round(host_fed_per_chip, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -49,13 +49,37 @@ def upsample2x(x: jax.Array) -> jax.Array:
 
 
 class DepthDecoder(nn.Module):
-    """Skip-connected decoder emitting sigmoid disparity at 4 scales."""
+    """Skip-connected decoder emitting sigmoid disparity at 4 scales.
+
+    ``packed=True`` (default) runs every stage lane-packed
+    (models/packed_conv.py): P consecutive W-pixels fold into the channel
+    dim so the 16-64-channel full/half-resolution stages — which dominated
+    the compiled train step at ~12% TPU lane utilization — execute with
+    >=128 effective channels. Identical math (zero-structured dense
+    kernels built from the SAME parameters; exact nearest upsample;
+    reflect padding reproduced at group boundaries) and an identical
+    parameter tree, so checkpoints/converters are unaffected. Falls back
+    to the plain path when a stage's width is not divisible by its pack
+    factor (non-canonical input sizes).
+    """
 
     scales: Tuple[int, ...] = (0, 1, 2, 3)
     dtype: Any = jnp.float32
+    packed: bool = True
+
+    def _can_pack(self, features) -> bool:
+        w = features[0].shape[2] * 2  # full input width
+        for i in range(5):
+            p = _stage_pack(i)
+            if (w // (2**i)) % (2 * p):
+                return False
+        return True
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array]) -> Tuple[jax.Array, ...]:
+        if self.packed and self._can_pack(features):
+            return self._packed_call(features)
+
         def conv_block(x, f, name):
             return nn.elu(ReflectConv3x3(f, self.dtype, name=name)(x))
 
@@ -73,6 +97,58 @@ class DepthDecoder(nn.Module):
 
         return tuple(outputs[s] for s in sorted(outputs))
 
+    def _packed_call(self, features) -> Tuple[jax.Array, ...]:
+        from .packed_conv import (
+            PackedConvBlock, pack_w, unpack_w, upsample2x_packed,
+        )
+
+        outputs = {}
+        x = features[-1]
+        c = x.shape[-1]
+        p = 1  # features[-1] has >=128 channels on every ResNet depth
+
+        def repack(x, p_from, p_to, c):
+            # pure reshape: the flat (W-major, C-minor) order is identical
+            # for every pack factor, so XLA bitcasts this.
+            return pack_w(unpack_w(x, p_from, c), p_to)
+
+        for i in range(4, -1, -1):
+            f = DEC_CHANNELS[i]
+            pi = _stage_pack(i)
+            x = repack(x, p, pi, c)
+            p = pi
+            x = nn.elu(
+                PackedConvBlock(f, (c,), p, self.dtype,
+                                name=f"upconv_{i}_0")([x])
+            )
+            c = f
+            x, p = upsample2x_packed(x, p, c)
+            x = repack(x, p, pi, c)
+            p = pi
+            segs, seg_c = [x], [c]
+            if i > 0:
+                skip = features[i - 1]
+                segs.append(pack_w(skip, p))
+                seg_c.append(skip.shape[-1])
+            x = nn.elu(
+                PackedConvBlock(f, tuple(seg_c), p, self.dtype,
+                                name=f"upconv_{i}_1")(segs)
+            )
+            c = f
+            if i in self.scales:
+                disp = PackedConvBlock(1, (c,), p, self.dtype,
+                                       name=f"dispconv_{i}")([x])
+                disp = unpack_w(disp, p, 1)
+                outputs[i] = ALPHA * nn.sigmoid(disp.astype(jnp.float32)) + BETA
+
+        return tuple(outputs[s] for s in sorted(outputs))
+
+
+def _stage_pack(i: int) -> int:
+    """Pack factor per decoder stage: enough W-pixels that the stage's
+    OUTPUT channels (DEC_CHANNELS[i]) fill the 128 lanes, capped at 8."""
+    return max(1, min(8, 128 // DEC_CHANNELS[i]))
+
 
 class DispNet(nn.Module):
     """Depth network. ``__call__`` returns the 4-scale disparity tuple
@@ -82,6 +158,7 @@ class DispNet(nn.Module):
     num_layers: int = 18
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    packed_decoder: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, ...]:
@@ -92,4 +169,6 @@ class DispNet(nn.Module):
             dtype=self.dtype,
             name="encoder",
         )(x, train)
-        return DepthDecoder(dtype=self.dtype, name="decoder")(features)
+        return DepthDecoder(
+            dtype=self.dtype, packed=self.packed_decoder, name="decoder"
+        )(features)

@@ -140,17 +140,63 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class PackedBasicBlock(nn.Module):
+    """Lane-packed twin of a stride-1, channel-preserving BasicBlock
+    (layer1 of ResNet-18/34: C=64 at quarter resolution runs at ~50% lane
+    waste unpacked — see models/packed_conv.py). Identical math and
+    parameter/stat tree (conv1/conv2 kernels; bn1/bn2 -> bn children)."""
+
+    features: int
+    pack: int
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        from .packed_conv import PackedBatchNorm, PackedConvSame
+
+        class _NormWrap(nn.Module):
+            features: int
+            pack: int
+            axis_name: Optional[str]
+            dtype: Any
+
+            @nn.compact
+            def __call__(self, x, train):
+                return PackedBatchNorm(
+                    self.features, self.pack, axis_name=self.axis_name
+                    if train else None, dtype=self.dtype, name="bn",
+                )(x, train)
+
+        conv = lambda name: PackedConvSame(
+            self.features, self.features, 3, 1, self.pack, self.dtype,
+            name=name,
+        )
+        norm = lambda name: _NormWrap(
+            self.features, self.pack, self.axis_name, self.dtype, name=name
+        )
+        identity = x
+        out = nn.relu(norm("bn1")(conv("conv1")(x), train))
+        out = norm("bn2")(conv("conv2")(out), train)
+        return nn.relu(out + identity)
+
+
 class ResNetEncoder(nn.Module):
     """5-stage feature pyramid: [relu(bn(conv1)), layer1..layer4].
 
     Returns features at strides 2, 4, 8, 16, 32 with channels
     ``encoder_channels(num_layers)``.
+
+    ``packed=True`` (default): layer1 of the basic-block depths runs
+    lane-packed (2 W-pixels folded into channels — exact same math, same
+    parameter tree; models/packed_conv.py) when the width allows it.
     """
 
     num_layers: int = 18
     num_input_images: int = 1
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
@@ -173,7 +219,24 @@ class ResNetEncoder(nn.Module):
 
         features = [feat0]
         widths = (64, 128, 256, 512)
+        pack_layer1 = (
+            self.packed
+            and not BOTTLENECK[self.num_layers]
+            and x.shape[2] % 2 == 0
+        )
         for stage, (width, n_blocks) in enumerate(zip(widths, blocks)):
+            if stage == 0 and pack_layer1:
+                from .packed_conv import pack_w, unpack_w
+
+                xp = pack_w(x, 2)
+                for i in range(n_blocks):
+                    xp = PackedBasicBlock(
+                        features=width, pack=2, axis_name=self.axis_name,
+                        dtype=self.dtype, name=f"layer1_{i}",
+                    )(xp, train)
+                x = unpack_w(xp, 2, width)
+                features.append(x)
+                continue
             for i in range(n_blocks):
                 strides = 2 if (stage > 0 and i == 0) else 1
                 x = block_cls(

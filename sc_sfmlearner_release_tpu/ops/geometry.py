@@ -197,20 +197,29 @@ def inverse_warp(
     return projected_img, valid
 
 
-_SAMPLER_RE = re.compile(r"^(gather|mxu|band(\d+)?)$")
+_SAMPLER_RE = re.compile(r"^(gather|mxu|band(\d+)?(r\d+)?)$")
 
 
 def validate_sampler(sampler: str) -> None:
     """Fail fast on a malformed sampler string (e.g. 'bands64', 'band_96').
 
-    Without this, the ``int(sampler[4:])`` band-width parse only surfaces
-    as an opaque ValueError deep inside jit tracing.
+    Without this, a malformed band-width parse only surfaces as an opaque
+    ValueError deep inside jit tracing.
     """
     if not isinstance(sampler, str) or not _SAMPLER_RE.match(sampler):
         raise ValueError(
             f"unknown sampler {sampler!r}: expected 'gather', 'mxu', "
-            "'band', or 'band<N>' (e.g. 'band64')"
+            "'band', 'band<N>', or 'band<N>r<rows>' (e.g. 'band64', "
+            "'band64r16')"
         )
+
+
+def _parse_band(sampler: str):
+    """'band' | 'band<N>' | 'band<N>r<rows>' -> (band, rows_per_chunk)."""
+    m = _SAMPLER_RE.match(sampler)
+    band = int(m.group(2)) if m.group(2) else 64
+    rows = int(m.group(3)[1:]) if m.group(3) else 8
+    return band, rows
 
 
 def inverse_warp2(
@@ -288,7 +297,7 @@ def inverse_warp2(
     if sampler.startswith("band"):
         from .warp_band import split_hi_lo, warp_sample_band_packed
 
-        band = int(sampler[4:]) if len(sampler) > 4 else 64
+        band, rows = _parse_band(sampler)
         # ONE packed call: [depth_hi, depth_lo, R, G, B]. Gradient-carrying
         # channels (the hi/lo-split source depth — recombines to fp32
         # accuracy since sampling is linear) go first; the custom backward
@@ -302,7 +311,7 @@ def inverse_warp2(
         )
         sampled = warp_sample_band_packed(
             packed, coords, padding_mode=padding_mode, band=band,
-            grad_channels=2,
+            rows_per_chunk=rows, grad_channels=2,
         )
         projected_depth = (
             sampled[..., 0:1] + sampled[..., 1:2]

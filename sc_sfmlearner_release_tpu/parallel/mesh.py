@@ -117,8 +117,25 @@ def shard_batch(
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (e.g. the train state) across the mesh."""
+    """Replicate a pytree (e.g. the train state) across the mesh.
+
+    Multi-process: assembled from each process's local copy via
+    ``make_array_from_process_local_data`` — ``jax.device_put`` onto a
+    cross-process sharding would run a value-equality collective
+    (multihost_utils.assert_equal) over the full tree, which both wastes a
+    full allgather of the parameters at startup and is the first Gloo/ICI
+    rendezvous, prone to coordination timeouts when processes start
+    skewed. Callers guarantee same-value state on every process (seeded
+    init / checkpoint restore), matching standard pod practice.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.device_put(tree, sharding)
 
 

@@ -95,7 +95,28 @@ def main():
     assert local_batch["tgt"].shape[0] == B_GLOBAL // args.num_processes
     global_batch = shard_batch(local_batch, mesh)
 
-    state, metrics = step(state, global_batch)
+    # AOT-compile BEFORE the coordination barrier: the first Gloo
+    # collective rendezvous has a hard 30s key-exchange timeout, and two
+    # processes compiling a multi-minute program on a contended host can
+    # skew past it. Compiling first and then meeting at the (long-timeout,
+    # gRPC) coordination-service barrier makes both processes hit the Gloo
+    # init within milliseconds of each other.
+    compiled = step.lower(state, global_batch).compile()
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        client.key_value_set(f"scsfm_compiled/{args.process_id}", "1")
+        for peer in range(args.num_processes):
+            if peer != args.process_id:
+                client.blocking_key_value_get(
+                    f"scsfm_compiled/{peer}", 900_000
+                )
+    except Exception as e:  # internal API moved — proceed unsynchronized
+        print(f"[worker {args.process_id}] barrier skipped: {e}",
+              flush=True)
+
+    state, metrics = compiled(state, global_batch)
     loss = float(np.asarray(jax.device_get(metrics["loss"])))
     assert np.isfinite(loss), loss
 

@@ -43,9 +43,12 @@ def _worker_env() -> dict:
         "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache"
     )
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
-    env["PYTHONPATH"] = os.pathsep.join(
-        [os.path.dirname(HERE), HERE, env.get("PYTHONPATH", "")]
-    )
+    # Deliberately NOT inheriting the parent PYTHONPATH: site
+    # customizations that import jax at interpreter startup (e.g. a TPU
+    # tunnel shim) initialize the backend before the worker can call
+    # jax.distributed.initialize, which then silently yields
+    # process_count() == 1.
+    env["PYTHONPATH"] = os.pathsep.join([os.path.dirname(HERE), HERE])
     return env
 
 
@@ -84,9 +87,14 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
 
     with np.load(outs[0]) as f0, np.load(outs[1]) as f1:
-        keys = sorted(k for k in f0.files if k.startswith("leaf_"))
+        # numeric sort: leaf_10 must follow leaf_9, matching tree order
+        keys = sorted(
+            (k for k in f0.files if k.startswith("leaf_")),
+            key=lambda s: int(s.split("_")[1]),
+        )
         assert keys and sorted(
-            k for k in f1.files if k.startswith("leaf_")
+            (k for k in f1.files if k.startswith("leaf_")),
+            key=lambda s: int(s.split("_")[1]),
         ) == keys
         # Both processes computed the SAME program over the SAME global
         # mesh: their replicated parameter copies must agree bitwise.
@@ -120,12 +128,31 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
 
+        # Same-computation-different-reduction-order: for near-zero-
+        # gradient elements Adam's normalized update flips sign on ulp
+        # noise (divergence up to 2*lr per step); bound elementwise by
+        # that maximum and require the L2 disagreement to be a small
+        # fraction of the update itself (as in
+        # test_training.test_fused_steps_match_sequential).
+        LR = 1e-3
+        init = create_train_state(
+            DispNet(num_layers=18), PoseNet(num_layers=18), tx,
+            jax.random.PRNGKey(0), image_shape=(1, H, W, 3),
+        )
+        init_leaves = [
+            np.asarray(x) for x in jax.tree_util.tree_leaves(init.params)
+        ]
         leaves = [
             np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)
         ]
         assert len(leaves) == len(keys)
-        net_scale = max(np.abs(a).max() for a in leaves)
-        for k, ref in zip(keys, leaves):
-            np.testing.assert_allclose(
-                f0[k], ref, rtol=1e-4, atol=1e-4 * net_scale, err_msg=k
+        diff_sq = upd_sq = 0.0
+        for k, ref, i0 in zip(keys, leaves, init_leaves):
+            np.testing.assert_array_less(
+                np.abs(f0[k] - ref), 2 * LR + 1e-6, err_msg=k
             )
+            diff_sq += float(np.sum((f0[k] - ref) ** 2))
+            upd_sq += float(np.sum((ref - i0) ** 2))
+        assert upd_sq > 0
+        rel = np.sqrt(diff_sq / upd_sq)
+        assert rel < 0.02, f"2-process vs 1-process trajectories: {rel:.4f}"

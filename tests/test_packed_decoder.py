@@ -1,0 +1,154 @@
+"""Lane-packed decoder (models/packed_conv.py) — exactness and tree parity.
+
+The packed path is a pure layout transformation: same parameters, same
+math (zero-structured dense kernels). In fp64 it must match the plain
+decoder BITWISE; in fp32 to accumulation-order noise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sc_sfmlearner_release_tpu.models.disp_net as dn
+from sc_sfmlearner_release_tpu.models import DispNet
+from sc_sfmlearner_release_tpu.models.packed_conv import (
+    _dense_packed_kernel,
+    _pad_packed_reflect,
+    pack_w,
+    unpack_w,
+    upsample2x_packed,
+)
+
+
+def _ref_conv(x, w):
+    xr = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xr, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _packed_conv(segments, w, p):
+    seg_c = [s.shape[-1] for s in segments]
+    dense = _dense_packed_kernel(w, seg_c, p)
+    padded = [
+        _pad_packed_reflect(pack_w(s, p), p, c)
+        for s, c in zip(segments, seg_c)
+    ]
+    x = padded[0] if len(padded) == 1 else jnp.concatenate(padded, -1)
+    out = jax.lax.conv_general_dilated(
+        x, dense, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return unpack_w(out, p, w.shape[-1])
+
+
+def test_packed_conv_exact_fp32():
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.rand(2, 8, 32, 16).astype(np.float32))
+    w = jnp.asarray((r.randn(3, 3, 16, 16) * 0.1).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(_packed_conv([x], w, 8)), np.asarray(_ref_conv(x, w)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_packed_conv_two_segments_matches_concat():
+    r = np.random.RandomState(1)
+    x1 = jnp.asarray(r.rand(2, 8, 32, 16).astype(np.float32))
+    x2 = jnp.asarray(r.rand(2, 8, 32, 8).astype(np.float32))
+    w = jnp.asarray((r.randn(3, 3, 24, 16) * 0.1).astype(np.float32))
+    ref = _ref_conv(jnp.concatenate([x1, x2], -1), w)
+    np.testing.assert_allclose(
+        np.asarray(_packed_conv([x1, x2], w, 4)), np.asarray(ref),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_packed_upsample_matches_plain():
+    r = np.random.RandomState(2)
+    x = jnp.asarray(r.rand(2, 4, 16, 16).astype(np.float32))
+    up, p2 = upsample2x_packed(pack_w(x, 4), 4, 16)
+    assert p2 == 8
+    np.testing.assert_array_equal(
+        np.asarray(unpack_w(up, 8, 16)), np.asarray(dn.upsample2x(x))
+    )
+
+
+def test_packed_decoder_matches_plain_and_tree():
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.rand(2, 64, 64, 3).astype(np.float32))
+    m = DispNet(num_layers=18)  # packed_decoder=True default
+    m_plain = DispNet(num_layers=18, packed_decoder=False)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    v_plain = m_plain.init(jax.random.PRNGKey(0), x, train=False)
+
+    # identical parameter trees (paths AND shapes) — checkpoints interop
+    flat = jax.tree_util.tree_leaves_with_path(v["params"])
+    flat_plain = dict(
+        (jax.tree_util.keystr(p), l.shape)
+        for p, l in jax.tree_util.tree_leaves_with_path(v_plain["params"])
+    )
+    assert flat_plain == dict(
+        (jax.tree_util.keystr(p), l.shape) for p, l in flat
+    )
+
+    out_p, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    out_u, _ = m_plain.apply(v, x, train=True, mutable=["batch_stats"])
+    assert len(out_p) == len(out_u) == 4
+    for a, b in zip(out_p, out_u):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-4
+        )
+
+
+def test_packed_encoder_matches_plain():
+    """layer1 lane packing (resnet.PackedBasicBlock): same params, same
+    outputs (train AND eval), same updated batch statistics."""
+    from sc_sfmlearner_release_tpu.models.resnet import ResNetEncoder
+
+    r = np.random.RandomState(4)
+    x = jnp.asarray(r.rand(2, 64, 64, 3).astype(np.float32))
+    m_p = ResNetEncoder(num_layers=18, packed=True)
+    m_u = ResNetEncoder(num_layers=18, packed=False)
+    v = m_p.init(jax.random.PRNGKey(0), x, train=False)
+    v_u = m_u.init(jax.random.PRNGKey(0), x, train=False)
+
+    flat = dict(
+        (jax.tree_util.keystr(p), l.shape)
+        for p, l in jax.tree_util.tree_leaves_with_path(v)
+    )
+    assert flat == dict(
+        (jax.tree_util.keystr(p), l.shape)
+        for p, l in jax.tree_util.tree_leaves_with_path(v_u)
+    )
+
+    for train in (False, True):
+        if train:
+            fa, sa = m_p.apply(v, x, train=True, mutable=["batch_stats"])
+            fb, sb = m_u.apply(v, x, train=True, mutable=["batch_stats"])
+            for a, b in zip(
+                jax.tree_util.tree_leaves(sa), jax.tree_util.tree_leaves(sb)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+                )
+        else:
+            fa = m_p.apply(v, x, train=False)
+            fb = m_u.apply(v, x, train=False)
+        for a, b in zip(fa, fb):
+            # fp32 accumulation-order noise on post-relu activations
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5
+            )
+
+
+def test_packed_decoder_pack_guard():
+    """Every multiple-of-32 width is packable; W=48 (not a multiple of 32,
+    so stage 4's half-width is odd) must route to the plain path."""
+    m = dn.DepthDecoder(packed=True)
+
+    def feats(full_w):
+        return [jnp.zeros((1, 16, full_w // 2, 64))]  # guard reads [0] only
+
+    assert m._can_pack(feats(64))
+    assert m._can_pack(feats(832))
+    assert not m._can_pack(feats(48))

@@ -29,6 +29,8 @@ FUSED = 16
 
 
 def build(variant: dict):
+    global B
+    B = variant.get("batch", 4)
     import jax
     import jax.numpy as jnp
 
@@ -58,15 +60,18 @@ def build(variant: dict):
         host["tgt"] = host["tgt"].astype(np.float32) / 255.0
         host["refs"] = host["refs"].astype(np.float32) / 255.0
 
-    disp = DispNet(num_layers=18, dtype=jnp.bfloat16)
+    disp = DispNet(num_layers=18, dtype=jnp.bfloat16,
+                   packed_decoder=variant.get("packed_decoder", True))
     pose = PoseNet(num_layers=18, dtype=jnp.bfloat16)
     tx = make_optimizer(1e-4)
     state = create_train_state(disp, pose, tx, jax.random.PRNGKey(0))
     state = replicate(state, mesh)
 
     if variant.get("convs_only"):
-        # Networks fwd+bwd+Adam only: dummy sum loss in place of the
-        # warp/photometric chain — isolates the conv-stack cost.
+        # Networks fwd+bwd+optimizer only: dummy sum loss in place of the
+        # warp/photometric chain — isolates the conv-stack cost. Variant
+        # knobs: nets = both|disp|pose, train_bn (False = frozen BN stats,
+        # isolating the batch-statistics passes), opt = adam|sgd.
         import optax
 
         from sc_sfmlearner_release_tpu.training.step import (
@@ -74,6 +79,12 @@ def build(variant: dict):
         )
 
         aug = make_device_augment(AugmentConfig()) if augment else None
+        nets = variant.get("nets", "both")
+        train_bn = variant.get("train_bn", True)
+        if variant.get("opt") == "sgd":
+            tx = optax.sgd(1e-4)
+            state = create_train_state(disp, pose, tx, jax.random.PRNGKey(0))
+            state = replicate(state, mesh)
 
         def one(state, batch):
             if aug is not None:
@@ -81,20 +92,24 @@ def build(variant: dict):
                 batch = aug(key, batch)
 
             def loss_fn(params):
-                td, rd, ds = compute_depth(
-                    disp,
-                    {"params": params["disp"],
-                     "batch_stats": state.batch_stats["disp"]},
-                    batch["tgt"], batch["refs"], True,
-                )
-                p, pi, ps = compute_pose_with_inv(
-                    pose,
-                    {"params": params["pose"],
-                     "batch_stats": state.batch_stats["pose"]},
-                    batch["tgt"], batch["refs"], True,
-                )
-                s = sum(jnp.sum(t.astype(jnp.float32)) for t in td)
-                s += jnp.sum(p) + jnp.sum(pi)
+                s = jnp.zeros((), jnp.float32)
+                ds, ps = state.batch_stats["disp"], state.batch_stats["pose"]
+                if nets in ("both", "disp"):
+                    td, rd, ds2 = compute_depth(
+                        disp,
+                        {"params": params["disp"], "batch_stats": ds},
+                        batch["tgt"], batch["refs"], train_bn,
+                    )
+                    ds = ds2 if train_bn else ds
+                    s += sum(jnp.sum(t.astype(jnp.float32)) for t in td)
+                if nets in ("both", "pose"):
+                    p, pi, ps2 = compute_pose_with_inv(
+                        pose,
+                        {"params": params["pose"], "batch_stats": ps},
+                        batch["tgt"], batch["refs"], train_bn,
+                    )
+                    ps = ps2 if train_bn else ps
+                    s += jnp.sum(p) + jnp.sum(pi)
                 return s * 1e-6, {"disp": ds, "pose": ps}
 
             (loss, stats), grads = jax.value_and_grad(
@@ -142,7 +157,20 @@ CONFIGS = {
     "band96": {"sampler": "band96"},
     "convs_only": {"convs_only": True},
     "convs_only_noaug": {"convs_only": True, "augment": False},
+    "disp_only": {"convs_only": True, "nets": "disp"},
+    "pose_only": {"convs_only": True, "nets": "pose"},
+    "convs_frozen_bn": {"convs_only": True, "train_bn": False},
+    "convs_sgd": {"convs_only": True, "opt": "sgd"},
+    "band64r16": {"sampler": "band64r16"},
+    "band64r32": {"sampler": "band64r32"},
+    "band48r16": {"sampler": "band48r16"},
+    "band80r16": {"sampler": "band80r16"},
     "remat": {"remat": True},
+    "unpacked_decoder": {"packed_decoder": False},
+    "disp_only_unpacked": {"convs_only": True, "nets": "disp",
+                           "packed_decoder": False},
+    "remat_b16": {"remat": True, "batch": 16},
+    "b16": {"batch": 16},
 }
 
 
@@ -160,15 +188,25 @@ def measure(name: str, n: int) -> float:
         float(pick(mm))
         return state, time.perf_counter() - t0
 
-    state, t2 = chain(state, 2)
-    state, t2b = chain(state, 2)  # first post-warm chain can be an outlier
-    t2 = min(t2, t2b)
-    state, tn = chain(state, n)
-    slope = (tn - t2) / (n - 2) / FUSED
+    state, _ = chain(state, 2)  # settle (first post-warm chain can stall)
+    slopes = []
+    for _ in range(5):
+        state, t2 = chain(state, 2)
+        state, tn = chain(state, n)
+        slope = (tn - t2) / (n - 2) / FUSED
+        if slope > 0 and tn > 1.2 * t2:
+            slopes.append(slope)
+        if len(slopes) >= 3:
+            break
+    if not slopes:
+        print(f"{name:18s} NO VALID SLOPE (tunnel busy?)", flush=True)
+        return float("nan")
+    slope = sorted(slopes)[len(slopes) // 2]
+    spread = (max(slopes) - min(slopes)) / slope if len(slopes) > 1 else 0.0
     print(
         f"{name:18s} {slope * 1e3:8.1f} ms/step   "
-        f"({FUSED * B / (slope * FUSED):6.1f} snippets/s)  "
-        f"[compile+warm {compile_s:.0f}s]",
+        f"({B / slope:6.1f} snippets/s)  "
+        f"[compile+warm {compile_s:.0f}s, spread {spread:.1%}]",
         flush=True,
     )
     return slope
