@@ -1,11 +1,17 @@
 # sc-depth-tpu developer targets
-.PHONY: test test-fast bench native overfit mfu clean
+.PHONY: test test-all test-fullopt bench native overfit mfu clean
 
-test:            ## full test suite (CPU, 8 virtual devices)
+test:            ## default suite: everything but the slow end-to-end cases
+	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -m "not slow"
+
+test-all:        ## full suite incl. slow fp64 parity + e2e CLI training
 	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q
 
-test-fast:       ## skip the slow end-to-end CLI training test
-	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -m "not slow"
+test-fullopt:    ## golden/parity subset under the production XLA pipeline
+	PALLAS_AXON_POOL_IPS= SCSFM_TEST_FULL_OPT=1 python -m pytest -q \
+		tests/test_geometry.py tests/test_grid_sample.py \
+		tests/test_losses.py tests/test_metrics.py \
+		tests/test_warp_band.py tests/test_packed_decoder.py
 
 bench:           ## canonical train-step throughput on the attached TPU
 	python bench.py

@@ -87,39 +87,53 @@ def _make_packed_dir(tmp_dir: str, n_scenes: int = 2, frames_per: int = 220):
     return tmp_dir
 
 
-def _host_fed_batches(packed_dir: str, mesh):
-    """Endless stream of device-staged stacked fused batches from the REAL
-    input pipeline: PackedSequenceSet -> BatchLoader -> fused stacking ->
-    device_prefetch (the `train.py --packed --device-augment --fused-steps`
-    feed path)."""
+def _host_stacked_batches(packed_dir: str):
+    """Endless stream of host-side stacked fused batches from the REAL
+    input pipeline: PackedSequenceSet -> BatchLoader -> fused stacking
+    (the `train.py --packed --device-augment --fused-steps` feed path)."""
     from sc_sfmlearner_release_tpu.data.loader import BatchLoader
     from sc_sfmlearner_release_tpu.data.packed import PackedSequenceSet
-    from sc_sfmlearner_release_tpu.parallel import device_prefetch
 
     dataset = PackedSequenceSet(packed_dir, train=True, transform=None)
     loader = BatchLoader(
         dataset, batch_size=BATCH, shuffle=True, num_workers=4,
         drop_last=True,
     )
+    epoch = 0
+    while True:
+        loader.set_epoch(epoch)
+        group = []
+        for batch in loader:
+            batch.pop("_n_valid", None)
+            group.append(batch)
+            if len(group) == FUSED:
+                yield {
+                    key: np.stack([g[key] for g in group])
+                    for key in group[0]
+                }
+                group = []
+        epoch += 1
 
-    def stacked():
-        epoch = 0
-        while True:
-            loader.set_epoch(epoch)
-            group = []
-            for batch in loader:
-                batch.pop("_n_valid", None)
-                group.append(batch)
-                if len(group) == FUSED:
-                    yield {
-                        key: np.stack([g[key] for g in group])
-                        for key in group[0]
-                    }
-                    group = []
-            epoch += 1
 
-    for staged, _ in device_prefetch(stacked(), mesh, size=2, stacked=True):
+def _host_fed_batches(packed_dir: str, mesh):
+    """Device-staged stream: host pipeline + device_prefetch overlap."""
+    from sc_sfmlearner_release_tpu.parallel import device_prefetch
+
+    for staged, _ in device_prefetch(
+        _host_stacked_batches(packed_dir), mesh, size=2, stacked=True
+    ):
         yield staged
+
+
+def _host_only_rate(packed_dir: str, n: int = 6) -> float:
+    """Host-pipeline-only snippets/s (no device): isolates loader+stacking
+    from the H2D transfer so a host-fed shortfall is attributable."""
+    it = _host_stacked_batches(packed_dir)
+    next(it)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        next(it)
+    return FUSED * BATCH * n / (time.perf_counter() - t0)
 
 
 def main() -> None:
@@ -206,7 +220,7 @@ def main() -> None:
     per_chip = snippets_per_sec / n_chips
 
     # ---- end-to-end host-fed measurement (real packed loader) ----
-    host_fed_per_chip = None
+    host_fed_per_chip = host_only = None
     if "--no-host-fed" not in sys.argv:
         import shutil
         import tempfile
@@ -237,12 +251,21 @@ def main() -> None:
             state, tf_big = chain_fed(state, kf_big)
             fed_slope = (tf_big - tf_small) / (kf_big - K_SMALL)
             host_fed_per_chip = FUSED * BATCH / fed_slope / n_chips
+            host_only = _host_only_rate(tmp_dir)
             print(
                 f"[bench] host-fed slope over {K_SMALL}->{kf_big} "
                 f"dispatches: {fed_slope * 1e3 / FUSED:.3f} ms/step, "
                 f"{host_fed_per_chip:.1f} snippets/s/chip "
                 f"({100 * host_fed_per_chip / per_chip:.1f}% of "
                 "device-only)", file=sys.stderr,
+            )
+            print(
+                f"[bench] host pipeline alone (loader+stacking, no "
+                f"device): {host_only:.0f} snippets/s — a host-fed "
+                "shortfall below device-only with this margin is the "
+                "H2D transfer path (the tunneled relay here moves "
+                "~45 MB/s; real TPU hosts DMA at GB/s)",
+                file=sys.stderr,
             )
         finally:
             shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -265,6 +288,7 @@ def main() -> None:
     }
     if host_fed_per_chip is not None:
         record["host_fed_value"] = round(host_fed_per_chip, 3)
+        record["host_pipeline_only_value"] = round(host_only, 1)
     print(json.dumps(record))
 
 

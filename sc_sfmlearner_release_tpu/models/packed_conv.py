@@ -280,6 +280,67 @@ class PackedConvSame(nn.Module):
         )
 
 
+def space_to_depth2(x: jax.Array) -> jax.Array:
+    """[B, 2Y, 2X, C] -> [B, Y, X, 4C] with sub-pixel order (by, bx, ci)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def expand_stem_kernel(
+    kernel: jax.Array, p: int
+) -> Tuple[jax.Array, int]:
+    """[7, 7, C, F] stride-2 pad-3 conv1 weights -> dense packed kernel
+    [4, kw', p*4C, p*F] over the space-to-depth-2, P-packed input.
+
+    A 7x7 stride-2 conv is exactly a 4x4 stride-1 conv on the s2d grid:
+    tap (dy, dx) of the original maps to s2d cell offset
+    (floor(dy/2), floor(dx/2)) at sub-pixel (dy%2, dx%2); zero-padding one
+    leading row/col of the 7x7 kernel realizes the mapping as a reshape.
+    The X axis additionally lane-packs P s2d cells per group via the same
+    placement tensor as :func:`_expand_kernel` (kw=4, stride=1, pad=2).
+    """
+    kh, kw, c, f = kernel.shape
+    assert kh == 7 and kw == 7
+    wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    # wp[2ky+by, 2kx+bx] == w[2ky+by-1, 2kx+bx-1] (zero when index -1)
+    wr = wp.reshape(4, 2, 4, 2, c, f)  # [ky, by, kx, bx, ci, co]
+    s, pad_groups = _placement(4, p, 1, 2)
+    dense = jnp.einsum(
+        "xdqp,yaxbio->ydqabipo", jnp.asarray(s, kernel.dtype), wr
+    )
+    # input order (q, by, bx, ci); output order (p, co)
+    return dense.reshape(4, s.shape[1], p * 4 * c, p * f), pad_groups
+
+
+def max_pool3x3s2_packed(x: jax.Array, p: int, c: int) -> Tuple[jax.Array, int]:
+    """torch-style MaxPool(3, stride 2, pad 1) on a P-packed tensor.
+
+    Returns (packed output with P/2 pixels per group, new pack factor).
+    Matches the encoder's -inf-padded reduce_window exactly.
+    """
+    b, h, wp_, pc = x.shape
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    # W-shifted views (one pixel left/right across group boundaries)
+    left_px = jnp.concatenate(
+        [jnp.full((b, h, 1, c), neg, x.dtype), x[:, :, :-1, -c:]], axis=2
+    )
+    y_m1 = jnp.concatenate([left_px, x[..., : (p - 1) * c]], axis=-1)
+    right_px = jnp.concatenate(
+        [x[:, :, 1:, :c], jnp.full((b, h, 1, c), neg, x.dtype)], axis=2
+    )
+    y_p1 = jnp.concatenate([x[..., c:], right_px], axis=-1)
+    wmax = jnp.maximum(jnp.maximum(y_m1, x), y_p1)
+    # H: pad one -inf row each side, 3-row max, stride-2 rows
+    hp = jnp.pad(wmax, ((0, 0), (1, 1), (0, 0), (0, 0)),
+                 constant_values=-jnp.inf)
+    hmax = jnp.maximum(jnp.maximum(hp[:, :-2], hp[:, 1:-1]), hp[:, 2:])
+    hmax = hmax[:, 0::2]
+    # W stride 2: keep even sub-pixels; groups shrink to P/2 px
+    out = hmax.reshape(b, h // 2, wp_, p, c)[:, :, :, 0::2, :]
+    return out.reshape(b, h // 2, wp_, (p // 2) * c), p // 2
+
+
 class PackedBatchNorm(nn.Module):
     """BatchNorm over a P-packed tensor with nn.BatchNorm's exact
     semantics and variable tree (params scale/bias [C]; batch_stats

@@ -197,6 +197,12 @@ class ResNetEncoder(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     packed: bool = True
+    # Lane-packed space-to-depth stem: exact and tested, but MEASURED
+    # SLOWER on v5e than XLA's plain conv1 path (full step 120 -> 140
+    # ms/step; the x8-FLOP dense expansion of a 7x7 kernel outweighs the
+    # lane-utilization win, worst for the 6-channel pose stem). Kept as a
+    # documented negative result; enable to re-measure on new hardware.
+    packed_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
@@ -205,30 +211,64 @@ class ResNetEncoder(nn.Module):
         blocks = STAGE_BLOCKS[self.num_layers]
         block_cls = Bottleneck if BOTTLENECK[self.num_layers] else BasicBlock
 
-        x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            use_bias=False, dtype=self.dtype, kernel_init=conv_kaiming_init,
-            name="conv1",
-        )(x)
-        x = _Norm(self.axis_name, self.dtype, name="bn1")(x, train)
-        feat0 = nn.relu(x)
+        from .packed_conv import pack_w, unpack_w
 
-        x = jnp.pad(feat0, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        b, h, w, c_in = x.shape
+        x = x.astype(self.dtype)
+        # Lane-packed stem: the 7x7/2 conv at C_in=3/6 plus the maxpool run
+        # at a few percent lane utilization unpacked. space-to-depth-2 +
+        # 8-pixel W-packing makes conv1 a dense [4,3,P*4C,P*64] conv with
+        # full lanes; BN/relu/maxpool stay packed. Exact same math/params.
+        stem_packed = (
+            self.packed
+            and self.packed_stem
+            and h % 4 == 0
+            and w % 16 == 0
+            and w // 16 >= 2
+        )
+        if stem_packed:
+            from .packed_conv import (
+                max_pool3x3s2_packed, space_to_depth2,
+            )
+
+            x2p = pack_w(space_to_depth2(x), 8)
+            xs = _StemConv(64, c_in, 8, self.dtype, name="conv1")(x2p)
+            xs = _StemNorm(64, 8, self.axis_name, self.dtype, name="bn1")(
+                xs, train
+            )
+            feat0_p = nn.relu(xs)
+            feat0 = unpack_w(feat0_p, 8, 64)
+            x, p_cur = max_pool3x3s2_packed(feat0_p, 8, 64)
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                use_bias=False, dtype=self.dtype,
+                kernel_init=conv_kaiming_init, name="conv1",
+            )(x)
+            x = _Norm(self.axis_name, self.dtype, name="bn1")(x, train)
+            feat0 = nn.relu(x)
+            x = jnp.pad(
+                feat0, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                constant_values=-jnp.inf,
+            )
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+            p_cur = 1
 
         features = [feat0]
         widths = (64, 128, 256, 512)
+        pool_w = (w // 4) if stem_packed else x.shape[2]
         pack_layer1 = (
             self.packed
             and not BOTTLENECK[self.num_layers]
-            and x.shape[2] % 2 == 0
+            and pool_w % 2 == 0
         )
         for stage, (width, n_blocks) in enumerate(zip(widths, blocks)):
             if stage == 0 and pack_layer1:
-                from .packed_conv import pack_w, unpack_w
-
-                xp = pack_w(x, 2)
+                if p_cur != 2:  # pure reshape between pack factors
+                    xp = pack_w(unpack_w(x, p_cur, 64), 2) if p_cur != 1 \
+                        else pack_w(x, 2)
+                else:
+                    xp = x
                 for i in range(n_blocks):
                     xp = PackedBasicBlock(
                         features=width, pack=2, axis_name=self.axis_name,
@@ -237,6 +277,8 @@ class ResNetEncoder(nn.Module):
                 x = unpack_w(xp, 2, width)
                 features.append(x)
                 continue
+            if stage == 0 and p_cur != 1:
+                x = unpack_w(x, p_cur, 64)
             for i in range(n_blocks):
                 strides = 2 if (stage > 0 and i == 0) else 1
                 x = block_cls(
@@ -249,3 +291,51 @@ class ResNetEncoder(nn.Module):
             features.append(x)
 
         return features
+
+
+class _StemConv(nn.Module):
+    """conv1's packed twin: param tree = encoder/conv1/kernel unchanged."""
+
+    features: int
+    in_ch: int
+    pack: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x2p: jax.Array) -> jax.Array:
+        from .packed_conv import expand_stem_kernel
+
+        kernel = self.param(
+            "kernel", conv_kaiming_init,
+            (7, 7, self.in_ch, self.features), jnp.float32,
+        )
+        dense, pad_groups = expand_stem_kernel(
+            kernel.astype(self.dtype), self.pack
+        )
+        x = jnp.pad(
+            x2p.astype(self.dtype),
+            ((0, 0), (2, 1), (pad_groups, pad_groups), (0, 0)),
+        )
+        return jax.lax.conv_general_dilated(
+            x, dense, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class _StemNorm(nn.Module):
+    """bn1's packed twin: tree = encoder/bn1/bn/{scale,bias,mean,var}."""
+
+    channels: int
+    pack: int
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        from .packed_conv import PackedBatchNorm
+
+        return PackedBatchNorm(
+            self.channels, self.pack,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype, name="bn",
+        )(x, train)

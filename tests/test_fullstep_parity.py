@@ -171,14 +171,15 @@ def _assert_tree_close(jax_tree, torch_tree, rtol, what):
 @pytest.mark.parametrize(
     "cfg",
     [
-        # canonical KITTI config (scripts/train_resnet18_depth_256.sh)
+        # canonical KITTI config (scripts/train_resnet18_depth_256.sh).
+        # The other loss branches (multi-scale, no-ssim, no-auto-mask) are
+        # covered by the fp32 parametrization below — one fp64 case costs
+        # ~8 min of XLA:CPU compile on 1 CPU and the second bought no
+        # additional math coverage fp32 can't see at its looser bound.
         LossConfig(num_scales=1, with_ssim=True, with_mask=True,
                    with_auto_mask=True),
-        # multi-scale + no auto-mask + no ssim exercises the other branches
-        LossConfig(num_scales=3, with_ssim=False, with_mask=True,
-                   with_auto_mask=False),
     ],
-    ids=["canonical", "multiscale"],
+    ids=["canonical"],
 )
 def test_fullstep_loss_and_grads_match_reference(cfg):
     """fp64 on both sides: rounding is negligible, so <=1e-4 rel truly
@@ -207,26 +208,32 @@ def test_fullstep_loss_and_grads_match_reference(cfg):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "sampler,loss_rtol,grad_rtol",
+    "scales,ssim,auto_mask,sampler,loss_rtol,grad_rtol",
     [
         # gather: torch-exact sampler — the bound is the observed fp32
         # reduction-order noise envelope (~4e-4 rel on the largest grads).
-        ("gather", 5e-4, 2e-3),
+        (1, True, True, "gather", 5e-4, 2e-3),
+        # multi-scale + no auto-mask + no ssim exercises the other loss
+        # branches (was an fp64 case; fp32 bounds suffice for these).
+        (3, False, False, "gather", 5e-4, 2e-3),
         # band64: the PRODUCTION TPU sampler (ops/warp_band.py). Image
         # values ride bf16 channels (~4e-3 abs on [0,1] images; sampled
         # depth recombines to fp32 via hi/lo splitting), so the envelope
         # vs the torch oracle is the op-level band-vs-gather bound
         # (tests/test_warp_band.py) composed through the loss.
-        ("band64", 5e-3, 3e-2),
+        (1, True, True, "band64", 5e-3, 3e-2),
     ],
+    ids=["canonical-gather", "multiscale-gather", "canonical-band64"],
 )
-def test_fullstep_fp32_production_dtype_close(sampler, loss_rtol, grad_rtol):
+def test_fullstep_fp32_production_dtype_close(
+    scales, ssim, auto_mask, sampler, loss_rtol, grad_rtol
+):
     """Full-step loss+grad parity at the production fp32 dtype, for BOTH the
     torch-exact gather sampler and the shipped band64 MXU sampler — the
     band64 case holds the production math to the same end-to-end assertion
     as gather (the math we ship IS the math we prove)."""
-    cfg = LossConfig(num_scales=1, with_ssim=True, with_mask=True,
-                     with_auto_mask=True, sampler=sampler)
+    cfg = LossConfig(num_scales=scales, with_ssim=ssim, with_mask=True,
+                     with_auto_mask=auto_mask, sampler=sampler)
     batch = _make_batch()
     tdisp, tpose, dv, pv = _nets()
     t_metrics, t_disp_grads, t_pose_grads = _torch_reference_step(

@@ -100,14 +100,19 @@ def test_packed_decoder_matches_plain_and_tree():
         )
 
 
-def test_packed_encoder_matches_plain():
-    """layer1 lane packing (resnet.PackedBasicBlock): same params, same
-    outputs (train AND eval), same updated batch statistics."""
+import pytest
+
+
+@pytest.mark.parametrize("packed_stem", [False, True])
+def test_packed_encoder_matches_plain(packed_stem):
+    """layer1 lane packing (resnet.PackedBasicBlock) — and the optional
+    space-to-depth stem (a kept, measured-slower alternative) — same
+    params, same outputs (train AND eval), same updated batch stats."""
     from sc_sfmlearner_release_tpu.models.resnet import ResNetEncoder
 
     r = np.random.RandomState(4)
     x = jnp.asarray(r.rand(2, 64, 64, 3).astype(np.float32))
-    m_p = ResNetEncoder(num_layers=18, packed=True)
+    m_p = ResNetEncoder(num_layers=18, packed=True, packed_stem=packed_stem)
     m_u = ResNetEncoder(num_layers=18, packed=False)
     v = m_p.init(jax.random.PRNGKey(0), x, train=False)
     v_u = m_u.init(jax.random.PRNGKey(0), x, train=False)

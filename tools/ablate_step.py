@@ -29,8 +29,9 @@ FUSED = 16
 
 
 def build(variant: dict):
-    global B
+    global B, FUSED
     B = variant.get("batch", 4)
+    FUSED = variant.get("fused", 16)
     import jax
     import jax.numpy as jnp
 
@@ -170,7 +171,18 @@ CONFIGS = {
     "disp_only_unpacked": {"convs_only": True, "nets": "disp",
                            "packed_decoder": False},
     "remat_b16": {"remat": True, "batch": 16},
+    "remat_b16_f8": {"remat": True, "batch": 16, "fused": 8},
     "b16": {"batch": 16},
+    "b16_f8_noaug": {"batch": 16, "fused": 8, "augment": False},
+    "b16_f8_noaug_unpacked": {"batch": 16, "fused": 8, "augment": False,
+                              "packed_decoder": False},
+    "b16_f8": {"batch": 16, "fused": 8},
+    "b8": {"batch": 8},
+    "b16_f12": {"batch": 16, "fused": 12},
+    "b16_gather": {"batch": 16, "sampler": "gather", "fused": 8,
+                   "augment": False},
+    "b16_convs": {"batch": 16, "convs_only": True, "fused": 8,
+                  "augment": False},
 }
 
 

@@ -153,12 +153,44 @@ def _stack_fused(batches, k: int):
     A trailing partial group is dropped (training loaders drop_last anyway).
     """
     group = []
+    checked = False
     for batch in batches:
         batch.pop("_n_valid", None)
         group.append(batch)
         if len(group) == k:
-            yield {key: np.stack([g[key] for g in group]) for key in group[0]}
+            stacked = {
+                key: np.stack([g[key] for g in group]) for key in group[0]
+            }
+            if not checked:
+                _check_staged_size(stacked, k)
+                checked = True
+            yield stacked
             group = []
+
+
+# Empirical envelope for the stacked fused-steps input (bytes across all
+# arrays of one staged batch). Bisected on v5e at 832x256: b16 x fused-16
+# (490 MB staged uint8) and b16 x fused-12 (368 MB) kernel-fault the TPU
+# worker; b16 x fused-8, b8 x fused-16 (245 MB) and b16 x fused-8 + remat
+# all run (docs/DESIGN.md §1). Remat, device-augment and the sampler
+# choice are NOT implicated (each was toggled independently). Root cause
+# is inside the XLA:TPU runtime (a fault, not a RESOURCE_EXHAUSTED OOM),
+# so the framework enforces the largest-VERIFIED envelope instead.
+_STAGED_BYTES_LIMIT = 256 * 1024 * 1024
+
+
+def _check_staged_size(stacked, k: int) -> None:
+    """Reject staged fused-steps batches beyond the verified size envelope
+    (see _STAGED_BYTES_LIMIT) with an actionable error instead of letting
+    the TPU worker kernel-fault mid-training."""
+    total = sum(arr.nbytes for arr in stacked.values())
+    if total > _STAGED_BYTES_LIMIT:
+        raise SystemExit(
+            f"staged fused-steps batch holds {total / 1e6:.0f} MB; staged "
+            f"batches beyond {_STAGED_BYTES_LIMIT / 1e6:.0f} MB have "
+            "kernel-faulted the TPU worker (docs/DESIGN.md §1). Lower "
+            f"--fused-steps (currently {k}) or --batch-size."
+        )
 
 
 def _find_imagenet_weights(explicit_dir, num_layers: int):
