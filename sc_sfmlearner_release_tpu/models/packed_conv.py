@@ -72,17 +72,33 @@ def pack_factor(c: int, max_p: int = 8) -> int:
     return p
 
 
+@functools.lru_cache(maxsize=None)
+def _dup_matrix(p: int, c: int) -> np.ndarray:
+    """Binary [p*c, 2p*c] with M[q*c+ci, (2q+d)*c+ci] = 1 (d in {0,1}):
+    right-multiplying duplicates every packed pixel. One nonzero per
+    output column, so the matmul is exact in any dtype."""
+    m = np.zeros((p * c, 2 * p * c), np.float32)
+    for q in range(p):
+        for ci in range(c):
+            m[q * c + ci, (2 * q) * c + ci] = 1.0
+            m[q * c + ci, (2 * q + 1) * c + ci] = 1.0
+    return m
+
+
 def upsample2x_packed(x: jax.Array, p: int, c: int) -> Tuple[jax.Array, int]:
     """Nearest x2 upsample of a packed tensor; returns (packed, new_p).
 
     H doubles as a plain row duplication; W doubles INSIDE the groups
-    (pixel p -> 2p, 2p+1), so the pack factor doubles and W' stays put.
-    Exact match of models.disp_net.upsample2x.
+    (pixel p -> 2p, 2p+1) via one binary lane matmul — MXU-friendly in
+    both directions (the VJP is the transposed matmul), unlike the 7-D
+    broadcast+reshape formulation whose transpose lowered to a slow
+    strided reduce. Exact match of models.disp_net.upsample2x.
     """
     b, h, wp, pc = x.shape
-    x5 = x.reshape(b, h, 1, wp, p, 1, c)
-    x5 = jnp.broadcast_to(x5, (b, h, 2, wp, p, 2, c))
-    return x5.reshape(b, 2 * h, wp, 2 * p * c), 2 * p
+    xh = jnp.broadcast_to(x[:, :, None], (b, h, 2, wp, pc))
+    xh = xh.reshape(b, 2 * h, wp, pc)
+    dup = jnp.asarray(_dup_matrix(p, c), x.dtype)
+    return jnp.einsum("bhwk,km->bhwm", xh, dup), 2 * p
 
 
 @functools.lru_cache(maxsize=None)

@@ -247,6 +247,12 @@ class ResNetEncoder(nn.Module):
             )(x)
             x = _Norm(self.axis_name, self.dtype, name="bn1")(x, train)
             feat0 = nn.relu(x)
+            # NOTE: routing this maxpool through max_pool3x3s2_packed was
+            # measured SLOWER (disp 34.5 -> 40.2, pose 15.8 -> 23.6
+            # ms/step on v5e): the packed shifted-view maximum's lane-dim
+            # concats cost more than reduce_window's half-empty lanes.
+            # The packed maxpool remains in use where it is structurally
+            # required (the optional packed stem).
             x = jnp.pad(
                 feat0, ((0, 0), (1, 1), (1, 1), (0, 0)),
                 constant_values=-jnp.inf,
