@@ -30,6 +30,19 @@ def _models():
     return DispNet(num_layers=18), PoseNet(num_layers=18)
 
 
+# Module-scope shared step: each make_train_step call returns a fresh jit
+# closure, so per-test construction recompiles (or at best re-loads from
+# the persistent cache, ~1 min each on 1 CPU). One shared compiled step
+# for every test that uses the default config/shapes keeps the cold suite
+# fast; tests still build their own fresh states.
+@pytest.fixture(scope="module")
+def shared():
+    disp, pose = _models()
+    tx = make_optimizer(lr=1e-3)
+    step = make_train_step(disp, pose, tx, LossConfig())
+    return disp, pose, tx, step
+
+
 def _synthetic_batch(b=B, seed=0):
     """A tiny translating-camera scene: shifted crops of a textured image."""
     rng = np.random.RandomState(seed)
@@ -56,11 +69,9 @@ def _state(tx):
     )
 
 
-def test_train_step_runs_and_loss_decreases():
-    disp, pose = _models()
-    tx = make_optimizer(lr=1e-3)
+def test_train_step_runs_and_loss_decreases(shared):
+    disp, pose, tx, step = shared
     state = _state(tx)
-    step = make_train_step(disp, pose, tx, LossConfig())
     batch = _synthetic_batch()
 
     import jax as _jax
@@ -189,11 +200,9 @@ def test_eval_steps_mask_padded_duplicates():
         )
 
 
-def test_checkpoint_roundtrip():
-    disp, pose = _models()
-    tx = make_optimizer(lr=1e-3)
+def test_checkpoint_roundtrip(shared):
+    disp, pose, tx, step = shared
     state = _state(tx)
-    step = make_train_step(disp, pose, tx, LossConfig())
     state, _ = step(state, _synthetic_batch())
 
     with tempfile.TemporaryDirectory() as d:
@@ -239,15 +248,13 @@ def test_orbax_checkpoint_roundtrip():
         mgr.close()
 
 
-def test_fused_steps_match_sequential():
+def test_fused_steps_match_sequential(shared):
     """fused_steps=K (one lax.scan dispatch) == K sequential unfused steps:
     same final params, same per-step metrics."""
     K = 3
-    disp, pose = _models()
-    tx = make_optimizer(lr=1e-3)
+    disp, pose, tx, step1 = shared
     cfg = LossConfig()
 
-    step1 = make_train_step(disp, pose, tx, cfg)
     stepK = make_train_step(disp, pose, tx, cfg, fused_steps=K)
 
     batches = [_synthetic_batch(seed=s) for s in range(K)]

@@ -117,12 +117,21 @@ def main(argv=None) -> int:
         c = c[0] if isinstance(c, (list, tuple)) else c
         return float(c.get("flops", 0.0))
 
-    dvars = disp.init(jax.random.PRNGKey(0), batch["tgt"][0], train=False)
+    # Count USEFUL model FLOPs from the UNPACKED decoder: the production
+    # lane-packed path issues zero-structured dense kernels at P x the
+    # mathematical FLOPs — formulation overhead, not model work (the
+    # packed encoder layer1's x2 remains in the count; it is small).
+    count_disp = DispNet(num_layers=18, dtype=jnp.bfloat16,
+                         packed_decoder=False)
+    dvars = count_disp.init(
+        jax.random.PRNGKey(0), batch["tgt"][0], train=False
+    )
     pvars = pose.init(jax.random.PRNGKey(0), batch["tgt"][0],
                       batch["tgt"][0], train=False)
     try:
         disp_fwd = fwd_flops(
-            lambda v, x: disp.apply(v, x, train=False), dvars, batch["tgt"][0]
+            lambda v, x: count_disp.apply(v, x, train=False),
+            dvars, batch["tgt"][0],
         ) / b
         pose_fwd = fwd_flops(
             lambda v, x, y: pose.apply(v, x, y, train=False),
