@@ -62,16 +62,6 @@ def unpack_w(x: jax.Array, p: int, c: int) -> jax.Array:
     return x.reshape(b, h, wp * p, c)
 
 
-def pack_factor(c: int, max_p: int = 8) -> int:
-    """Largest power-of-two P <= max_p with P*C a multiple-of-128 helper —
-    in practice: enough pixels to fill the lanes (P*C >= 128) without
-    exploding the dense-kernel FLOPs."""
-    p = 1
-    while p < max_p and p * c < LANES:
-        p *= 2
-    return p
-
-
 @functools.lru_cache(maxsize=None)
 def _dup_matrix(p: int, c: int) -> np.ndarray:
     """Binary [p*c, 2p*c] with M[q*c+ci, (2q+d)*c+ci] = 1 (d in {0,1}):

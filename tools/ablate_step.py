@@ -61,7 +61,8 @@ def build(variant: dict):
         host["tgt"] = host["tgt"].astype(np.float32) / 255.0
         host["refs"] = host["refs"].astype(np.float32) / 255.0
 
-    disp = DispNet(num_layers=18, dtype=jnp.bfloat16,
+    layers = variant.get("layers", 18)
+    disp = DispNet(num_layers=layers, dtype=jnp.bfloat16,
                    packed_decoder=variant.get("packed_decoder", True))
     pose = PoseNet(num_layers=18, dtype=jnp.bfloat16)
     tx = make_optimizer(1e-4)
@@ -179,6 +180,7 @@ CONFIGS = {
     "b16_f8": {"batch": 16, "fused": 8},
     "b8": {"batch": 8},
     "b16_f12": {"batch": 16, "fused": 12},
+    "r50": {"layers": 50},
     "b16_gather": {"batch": 16, "sampler": "gather", "fused": 8,
                    "augment": False},
     "b16_convs": {"batch": 16, "convs_only": True, "fused": 8,
