@@ -197,7 +197,7 @@ def inverse_warp(
     return projected_img, valid
 
 
-_SAMPLER_RE = re.compile(r"^(gather|mxu|band(\d+)?(r\d+)?)$")
+_SAMPLER_RE = re.compile(r"^(gather|mxu|band(\d+)?(r\d+)?(nf)?)$")
 
 
 def validate_sampler(sampler: str) -> None:
@@ -215,11 +215,15 @@ def validate_sampler(sampler: str) -> None:
 
 
 def _parse_band(sampler: str):
-    """'band' | 'band<N>' | 'band<N>r<rows>' -> (band, rows_per_chunk)."""
+    """'band[<N>][r<rows>][nf]' -> (band, rows_per_chunk, fallback).
+
+    The 'nf' suffix disables the exact gather fallback (out-of-band warps
+    clamp to the window edge) — a measurement/ablation knob, not a
+    recommended training configuration."""
     m = _SAMPLER_RE.match(sampler)
     band = int(m.group(2)) if m.group(2) else 64
     rows = int(m.group(3)[1:]) if m.group(3) else 8
-    return band, rows
+    return band, rows, m.group(4) is None
 
 
 def inverse_warp2(
@@ -297,7 +301,7 @@ def inverse_warp2(
     if sampler.startswith("band"):
         from .warp_band import split_hi_lo, warp_sample_band_packed
 
-        band, rows = _parse_band(sampler)
+        band, rows, fb = _parse_band(sampler)
         # ONE packed call: [depth_hi, depth_lo, R, G, B]. Gradient-carrying
         # channels (the hi/lo-split source depth — recombines to fp32
         # accuracy since sampling is linear) go first; the custom backward
@@ -311,7 +315,7 @@ def inverse_warp2(
         )
         sampled = warp_sample_band_packed(
             packed, coords, padding_mode=padding_mode, band=band,
-            rows_per_chunk=rows, grad_channels=2,
+            rows_per_chunk=rows, grad_channels=2, fallback=fb,
         )
         projected_depth = (
             sampled[..., 0:1] + sampled[..., 1:2]

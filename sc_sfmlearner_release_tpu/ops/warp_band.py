@@ -469,6 +469,7 @@ def warp_sample_band_packed(
     band: int = 64,
     rows_per_chunk: int = 8,
     grad_channels: int = 0,
+    fallback: bool = True,
 ) -> jax.Array:
     """Production banded bilinear sample of channel-packed sources.
 
@@ -520,4 +521,8 @@ def warp_sample_band_packed(
             out_dtype
         )
 
+    if not fallback:
+        # No exactness guard: out-of-band warps clamp to the window edge.
+        # Only for callers that mask such pixels anyway (measurement use).
+        return band_branch(img, coords)
     return jax.lax.cond(fits, band_branch, gather_branch, img, coords)

@@ -181,6 +181,7 @@ CONFIGS = {
     "b8": {"batch": 8},
     "b16_f12": {"batch": 16, "fused": 12},
     "r50": {"layers": 50},
+    "band64nf": {"sampler": "band64nf"},
     "b16_gather": {"batch": 16, "sampler": "gather", "fused": 8,
                    "augment": False},
     "b16_convs": {"batch": 16, "convs_only": True, "fused": 8,
