@@ -475,6 +475,11 @@ def main(argv=None) -> int:
 
         augment_fn = make_device_augment(AugmentConfig())
     fused = max(args.fused_steps, 1)
+    if fused > 1 and fused > epoch_size:
+        # _stack_fused drops trailing partial groups; a fused size larger
+        # than the epoch would silently train zero steps per epoch.
+        print(f"=> clamping --fused-steps {fused} to epoch size {epoch_size}")
+        fused = max(1, epoch_size)
     train_step = make_train_step(disp_model, pose_model, tx, cfg,
                                  remat=args.remat, augment_fn=augment_fn,
                                  aug_seed=args.seed, fused_steps=fused)
