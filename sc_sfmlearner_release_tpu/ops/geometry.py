@@ -254,12 +254,15 @@ def inverse_warp2(
           (golden-tested vs torch CPU). Exact, but XLA lowers TPU gathers
           to ~0.1 G values/s (element-at-a-time HBM walks), which makes
           it the train step's dominant cost at the canonical config.
-        * ``"band"`` (optionally ``"band<N>"``, e.g. ``"band96"``) — the
+        * ``"band"`` (optionally ``"band<N>[r<rows>][nf]"``, e.g.
+          ``"band96"``, ``"band64r16"``) — the
           banded one-hot MXU formulation (ops/warp_band.py): scatter- and
           gather-free, bf16-exact image values, fp32-exact sampled depth
           via hi/lo splitting, with an exact whole-call gather fallback
           when a warp exceeds the N-row vertical band. The TPU hot-path
-          choice.
+          choice. ``r<rows>`` sets the output rows per chunk; ``nf``
+          drops the exactness fallback (~4.6 ms/step of cond overhead;
+          out-of-band warps clamp to the window edge — opt-in only).
         * ``"mxu"`` — round-1's unbanded one-hot formulation
           (ops/warp_mxu.py), kept as a tested alternative; ~band/H times
           the band sampler's FLOPs, never preferable.

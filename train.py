@@ -77,7 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--name", required=True)
     p.add_argument("--padding-mode", choices=["zeros", "border"], default="zeros")
     p.add_argument("--sampler", default="auto",
-                   help="warp sampler. 'band<N>' = banded one-hot MXU "
+                   help="warp sampler. 'band<N>[r<rows>][nf]' = banded one-hot MXU "
                    "sampler (scatter/gather-free, ~2-4x faster full step "
                    "on v5e, exact whole-call gather fallback outside the "
                    "N-row vertical band); 'gather' = torch-exact gathers "
