@@ -197,7 +197,10 @@ def inverse_warp(
     return projected_img, valid
 
 
-_SAMPLER_RE = re.compile(r"^(gather|mxu|band(\d+)?(r\d+)?(nf)?)$")
+_SAMPLER_RE = re.compile(
+    r"^(gather|mxu|band(?P<band>\d+)?(?P<rows>r\d+)?"
+    r"(?P<xband>x\d+)?(?P<cols>c\d+)?(?P<nf>nf)?)$"
+)
 
 
 def validate_sampler(sampler: str) -> None:
@@ -209,21 +212,27 @@ def validate_sampler(sampler: str) -> None:
     if not isinstance(sampler, str) or not _SAMPLER_RE.match(sampler):
         raise ValueError(
             f"unknown sampler {sampler!r}: expected 'gather', 'mxu', "
-            "'band', 'band<N>', or 'band<N>r<rows>' (e.g. 'band64', "
-            "'band64r16')"
+            "'band', 'band<N>', 'band<N>r<rows>', or "
+            "'band<N>x<xband>[c<cols>]' (e.g. 'band64', 'band64r16', "
+            "'band64x384c256')"
         )
 
 
 def _parse_band(sampler: str):
-    """'band[<N>][r<rows>][nf]' -> (band, rows_per_chunk, fallback).
+    """'band[<N>][r<rows>][x<XB>][c<cols>][nf]' ->
+    (band, rows_per_chunk, xband, cols_per_chunk, fallback).
 
+    ``x<XB>`` restricts each tile's x contraction to an XB-column window
+    (2-D banding; ``c<cols>`` sets the output tile width, default XB//2).
     The 'nf' suffix disables the exact gather fallback (out-of-band warps
     clamp to the window edge) — a measurement/ablation knob, not a
     recommended training configuration."""
     m = _SAMPLER_RE.match(sampler)
-    band = int(m.group(2)) if m.group(2) else 64
-    rows = int(m.group(3)[1:]) if m.group(3) else 8
-    return band, rows, m.group(4) is None
+    band = int(m.group("band")) if m.group("band") else 64
+    rows = int(m.group("rows")[1:]) if m.group("rows") else 8
+    xband = int(m.group("xband")[1:]) if m.group("xband") else None
+    cols = int(m.group("cols")[1:]) if m.group("cols") else None
+    return band, rows, xband, cols, m.group("nf") is None
 
 
 def inverse_warp2(
@@ -304,7 +313,7 @@ def inverse_warp2(
     if sampler.startswith("band"):
         from .warp_band import split_hi_lo, warp_sample_band_packed
 
-        band, rows, fb = _parse_band(sampler)
+        band, rows, xband, cols, fb = _parse_band(sampler)
         # ONE packed call: [depth_hi, depth_lo, R, G, B]. Gradient-carrying
         # channels (the hi/lo-split source depth — recombines to fp32
         # accuracy since sampling is linear) go first; the custom backward
@@ -319,6 +328,7 @@ def inverse_warp2(
         sampled = warp_sample_band_packed(
             packed, coords, padding_mode=padding_mode, band=band,
             rows_per_chunk=rows, grad_channels=2, fallback=fb,
+            xband=xband, cols_per_chunk=cols,
         )
         projected_depth = (
             sampled[..., 0:1] + sampled[..., 1:2]

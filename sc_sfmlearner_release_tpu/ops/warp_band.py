@@ -267,11 +267,16 @@ def grid_sample_band(
 # ---------------------------------------------------------------------------
 
 
-def _band_geometry(coords, h, w, padding_mode, band, rows):
+def _band_geometry(coords, h, w, padding_mode, band, rows,
+                   xband=None, cols=None):
     """Shared index/weight preparation for the taps kernel.
 
     Returns per-chunk-major int/weight arrays ([n, B, P]) plus the
-    fits-in-band predicate.
+    fits-in-band predicate. ``xband``/``cols`` add optional COLUMN banding:
+    the output is cut into (rows x cols) tiles and each tile's x one-hot
+    contracts over only an ``xband``-column source window centered on the
+    tile (same structure as the row band). ``xband=None`` keeps the full
+    width (1-D banding, the original formulation).
     """
     compute = jnp.float32
     nchunk = (h + rows - 1) // rows
@@ -279,7 +284,15 @@ def _band_geometry(coords, h, w, padding_mode, band, rows):
     margin = (band - rows) // 2
     h_out_pad = nchunk * rows
     b = coords.shape[0]
-    p = rows * w
+
+    if xband is None:
+        xband, cols = w, w
+    ncol = (w + cols - 1) // cols
+    xband = min(xband, 2 * ncol * cols)
+    xmargin = (xband - cols) // 2
+    w_out_pad = ncol * cols
+    p = rows * cols
+    ntile = nchunk * ncol
 
     x = _unnormalize(coords[..., 0].astype(compute), w)
     y = _unnormalize(coords[..., 1].astype(compute), h)
@@ -300,69 +313,85 @@ def _band_geometry(coords, h, w, padding_mode, band, rows):
         vx0 = vx1 = vy0 = vy1 = ones
 
     def chunked(a, fill=0):
+        """[B, H, W] -> tile-major [nchunk*ncol, B, rows*cols]."""
         a = a.reshape(b, h, w)
-        if h_out_pad != h:
-            a = jnp.pad(a, ((0, 0), (0, h_out_pad - h), (0, 0)),
+        if h_out_pad != h or w_out_pad != w:
+            a = jnp.pad(a, ((0, 0), (0, h_out_pad - h), (0, w_out_pad - w)),
                         constant_values=fill)
-        return a.reshape(b, nchunk, p).swapaxes(0, 1)
+        a = a.reshape(b, nchunk, rows, ncol, cols)
+        return a.transpose(1, 3, 0, 2, 4).reshape(ntile, b, p)
 
-    base = (jnp.arange(nchunk, dtype=jnp.int32) * rows - margin)[:, None, None]
+    tile = jnp.arange(ntile, dtype=jnp.int32)
+    rs = (tile // ncol) * rows                      # window row starts
+    cs = (tile % ncol) * cols                       # window col starts
+    base = (rs - margin)[:, None, None]
     rel0 = chunked(y0) - base
     rel1 = rel0 + 1
     by0 = chunked(vy0).astype(compute)
     by1 = chunked(vy1).astype(compute)
 
+    xbase = (cs - xmargin)[:, None, None]
+    relx0 = chunked(x0) - xbase
+    ax0 = chunked(vx0).astype(compute)
+    ax1 = chunked(vx1).astype(compute)
+
     geo = {
-        "x0c": chunked(jnp.clip(x0, -1, w - 1)),
+        "x0c": jnp.clip(relx0, -1, xband - 1),
         "rel0c": jnp.clip(rel0, 0, band - 1),
         "rel1c": jnp.clip(rel1, 0, band - 1),
+        "rs": rs, "cs": cs,
         "wx": chunked(wx), "wy": chunked(wy),
-        "ax0": chunked(vx0).astype(compute),
-        "ax1": chunked(vx1).astype(compute),
+        "ax0": ax0, "ax1": ax1,
         "by0": by0, "by1": by1,
         "band": band, "margin": margin, "nchunk": nchunk,
-        "h_out_pad": h_out_pad, "p": p,
+        "xband": xband, "xmargin": xmargin, "ncol": ncol, "cols": cols,
+        "h_out_pad": h_out_pad, "w_out_pad": w_out_pad, "p": p,
     }
     in0 = (by0 == 0) | ((rel0 >= 0) & (rel0 <= band - 1))
     in1 = (by1 == 0) | ((rel1 >= 0) & (rel1 <= band - 1))
     fits = jnp.all(in0) & jnp.all(in1)
+    if xband < w:  # the full-width window can never miss in x
+        jn0 = (ax0 == 0) | ((relx0 >= 0) & (relx0 <= xband - 1))
+        jn1 = (ax1 == 0) | ((relx0 + 1 >= 0) & (relx0 + 1 <= xband - 1))
+        fits = fits & jnp.all(jn0) & jnp.all(jn1)
     return geo, fits
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _band_sample(img, weights, idx, band, rows, margin, grad_channels,
-                 img_shape):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _band_sample(img, weights, idx, band, xband, grad_channels, img_shape):
     """Weighted banded bilinear sample with fused in-chunk combine.
 
-    img: [B, Hp, W, C] bf16, already row-padded by (margin, pad_bot).
+    img: [B, Hp, Wp, C] bf16, already padded by (margin, pad_bot) rows and
+    (xmargin, pad_right) columns.
     weights: dict w00/w01/w10/w11, [n, B, P] fp32 (validity pre-folded).
-    idx: dict of per-chunk int arrays (x0c, rel0c, rel1c), [n, B, P].
+    idx: per-tile int arrays — x0c/rel0c/rel1c [n, B, P] plus the window
+    start offsets rs/cs [n] (into the padded image).
     Returns out [n, B, P, C] fp32. The weight combine happens inside the
     scan body so the tap tensors never round-trip HBM; the custom backward
     consumes the compact bf16 y-selected tap pairs saved by the forward.
     """
-    out, _ = _band_sample_fwd(img, weights, idx, band, rows, margin,
+    out, _ = _band_sample_fwd(img, weights, idx, band, xband,
                               grad_channels, img_shape)
     return out
 
 
-def _band_sample_fwd(img, weights, idx, band, rows, margin, grad_channels,
+def _band_sample_fwd(img, weights, idx, band, xband, grad_channels,
                      img_shape):
-    b, hp, w, c = img.shape
-    nchunk = idx["x0c"].shape[0]
-    wio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w + 1), 2)
+    b, hp, wp, c = img.shape
+    ntile = idx["x0c"].shape[0]
+    wio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, xband + 1), 2)
     rio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, band), 3)
 
     def one_chunk(_, xs):
-        ci, x0i, r0i, r1i, w00, w01, w10, w11 = xs
+        rsi, csi, x0i, r0i, r1i, w00, w01, w10, w11 = xs
         window = jax.lax.dynamic_slice(
-            img, (0, ci * rows, 0, 0), (b, band, w, c)
+            img, (0, rsi, csi, 0), (b, band, xband, c)
         )
         zcol = jnp.zeros((b, band, 1, c), window.dtype)
         pair = jnp.concatenate(
             [jnp.concatenate([zcol, window], axis=2),
              jnp.concatenate([window, zcol], axis=2)], axis=3
-        )  # [B, band, W+1, 2C]
+        )  # [B, band, XB+1, 2C]
         onehot = (wio == (x0i + 1)[..., None]).astype(jnp.bfloat16)
         # bf16 output is EXACT: the one-hot has a single nonzero, so the
         # contraction moves one bf16 source value per (pixel, row) — no
@@ -382,26 +411,23 @@ def _band_sample_fwd(img, weights, idx, band, rows, margin, grad_channels,
                + w11[..., None] * ty1[..., c:].astype(jnp.float32))
         return None, (out, jnp.concatenate([ty0, ty1], axis=-1))
 
-    ci_all = jnp.arange(nchunk, dtype=jnp.int32)
     _, (out, taps) = jax.lax.scan(
         one_chunk, None,
-        (ci_all, idx["x0c"], idx["rel0c"], idx["rel1c"],
+        (idx["rs"], idx["cs"], idx["x0c"], idx["rel0c"], idx["rel1c"],
          weights["w00"], weights["w01"], weights["w10"], weights["w11"]),
     )
     # out [n, B, P, C] fp32; taps [n, B, P, 4C] bf16 (ty0 | ty1).
     return out, (weights, idx, taps)
 
 
-def _band_sample_bwd(band, rows, margin, grad_channels, img_shape, res,
-                     dout):
+def _band_sample_bwd(band, xband, grad_channels, img_shape, res, dout):
     """Custom backward, no forward recomputation:
     * weight gradients from the saved bf16 taps (one elementwise pass),
-    * image gradients via ONE transposed one-hot matmul per chunk, only
+    * image gradients via ONE transposed one-hot matmul per tile, only
       over the ``grad_channels`` leading channels."""
     weights, idx, taps = res
-    b, hp, w, c = img_shape
+    b, hp, wp, c = img_shape
     gc = grad_channels
-    nchunk = idx["x0c"].shape[0]
     dout = dout.astype(jnp.float32)  # [n, B, P, C]
     tf = taps.astype(jnp.float32)
 
@@ -415,11 +441,11 @@ def _band_sample_bwd(band, rows, margin, grad_channels, img_shape, res,
     if gc == 0:
         return (jnp.zeros(img_shape, jnp.bfloat16), dw, None)
 
-    wio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w + 1), 2)
+    wio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, xband + 1), 2)
     rio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, band), 3)
 
     def one_chunk(dimg, xs):
-        ci, x0i, r0i, r1i, w00, w01, w10, w11, do = xs
+        rsi, csi, x0i, r0i, r1i, w00, w01, w10, w11, do = xs
         do = do[..., :gc]
         # Cotangents of the y-selected tap pairs, [B, P, 2gc] each.
         d_ty0 = jnp.concatenate(
@@ -436,25 +462,26 @@ def _band_sample_bwd(band, rows, margin, grad_channels, img_shape, res,
                            d_t.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
         # Un-pair: pair[:, :, j] = (win[j-1], win[j]).
-        dwin = dpair[:, :, 1:, :gc] + dpair[:, :, :-1, gc:]  # [B, band, W, gc]
+        dwin = dpair[:, :, 1:, :gc] + dpair[:, :, :-1, gc:]  # [B,bd,XB,gc]
+        # Column windows of adjacent tiles overlap in the xmargin region;
+        # the sequential read-modify-write accumulate handles it.
         cur = jax.lax.dynamic_slice(
-            dimg, (0, ci * rows, 0, 0), (b, band, w, gc)
+            dimg, (0, rsi, csi, 0), (b, band, xband, gc)
         )
         dimg = jax.lax.dynamic_update_slice(
-            dimg, cur + dwin.astype(dimg.dtype), (0, ci * rows, 0, 0)
+            dimg, cur + dwin.astype(dimg.dtype), (0, rsi, csi, 0)
         )
         return dimg, None
 
-    ci_all = jnp.arange(nchunk, dtype=jnp.int32)
     dimg_gc, _ = jax.lax.scan(
         one_chunk,
-        jnp.zeros((b, hp, w, gc), jnp.float32),
-        (ci_all, idx["x0c"], idx["rel0c"], idx["rel1c"],
+        jnp.zeros((b, hp, wp, gc), jnp.float32),
+        (idx["rs"], idx["cs"], idx["x0c"], idx["rel0c"], idx["rel1c"],
          weights["w00"], weights["w01"], weights["w10"], weights["w11"],
          dout),
     )
     dimg = dimg_gc if c == gc else jnp.concatenate(
-        [dimg_gc, jnp.zeros((b, hp, w, c - gc), jnp.float32)], axis=-1
+        [dimg_gc, jnp.zeros((b, hp, wp, c - gc), jnp.float32)], axis=-1
     )
     return (dimg.astype(jnp.bfloat16), dw, None)
 
@@ -470,6 +497,8 @@ def warp_sample_band_packed(
     rows_per_chunk: int = 8,
     grad_channels: int = 0,
     fallback: bool = True,
+    xband: int = None,
+    cols_per_chunk: int = None,
 ) -> jax.Array:
     """Production banded bilinear sample of channel-packed sources.
 
@@ -478,7 +507,15 @@ def warp_sample_band_packed(
     channels, and a custom backward that only transposes the leading
     ``grad_channels`` channels. Callers put gradient-carrying channels
     (e.g. hi/lo-split source depth) FIRST. Falls back to the exact gather
-    path (value and gradient) when any warp leaves the vertical band.
+    path (value and gradient) when any warp leaves the band.
+
+    ``xband`` (optional) adds COLUMN banding: the output is tiled into
+    (rows_per_chunk x cols_per_chunk) tiles whose x one-hot contracts over
+    an ``xband``-column window instead of the full width — cutting the
+    contraction FLOPs and the one-hot bytes by ~W/xband. The horizontal
+    displacement budget is ``(xband - cols_per_chunk) // 2`` columns;
+    violations trigger the same whole-call gather fallback.
+    ``cols_per_chunk`` defaults to ``xband // 2``.
     """
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
@@ -487,18 +524,31 @@ def warp_sample_band_packed(
         raise ValueError("requires output res == input res")
     if band % rows_per_chunk:
         raise ValueError("band must be a multiple of rows_per_chunk")
+    if xband is not None:
+        if cols_per_chunk is None:
+            cols_per_chunk = max(xband // 2, 1)
+        if cols_per_chunk > xband or (xband - cols_per_chunk) % 2:
+            raise ValueError(
+                "xband must be >= cols_per_chunk with an even margin"
+            )
+        if xband >= w:  # full-width window: identical to the 1-D form
+            xband = cols_per_chunk = None
     rows = rows_per_chunk
-    geo, fits = _band_geometry(coords, h, w, padding_mode, band, rows)
+    geo, fits = _band_geometry(coords, h, w, padding_mode, band, rows,
+                               xband, cols_per_chunk)
     band_eff, margin, nchunk = geo["band"], geo["margin"], geo["nchunk"]
+    xband_eff, xmargin, ncol = geo["xband"], geo["xmargin"], geo["ncol"]
     out_dtype = img.dtype
 
     def band_branch(img, coords):
         pad_bot = (nchunk - 1) * rows + band_eff - margin - h
+        pad_right = (ncol - 1) * geo["cols"] + xband_eff - xmargin - w
         padded = jnp.pad(
             img.astype(jnp.bfloat16),
-            ((0, 0), (margin, max(pad_bot, 0)), (0, 0), (0, 0)),
+            ((0, 0), (margin, max(pad_bot, 0)),
+             (xmargin, max(pad_right, 0)), (0, 0)),
         )
-        idx = {k: geo[k] for k in ("x0c", "rel0c", "rel1c")}
+        idx = {k: geo[k] for k in ("x0c", "rel0c", "rel1c", "rs", "cs")}
         # Differentiable fp32 tap weights (validity folded in): this is
         # where coordinate gradients flow; the kernel's custom backward
         # returns d/d(weights) from its saved bf16 taps.
@@ -509,9 +559,13 @@ def warp_sample_band_packed(
             "w10": geo["wy"] * geo["by1"] * (1.0 - geo["wx"]) * geo["ax0"],
             "w11": geo["wy"] * geo["by1"] * geo["wx"] * geo["ax1"],
         }
-        out = _band_sample(padded, weights, idx, band_eff, rows, margin,
+        out = _band_sample(padded, weights, idx, band_eff, xband_eff,
                            grad_channels, padded.shape)
-        out = out.swapaxes(0, 1).reshape(b, geo["h_out_pad"], w, c)[:, :h]
+        # [ntile, B, P, C] -> [B, H, W, C]
+        out = out.reshape(nchunk, ncol, b, rows, geo["cols"], c)
+        out = out.transpose(2, 0, 3, 1, 4, 5).reshape(
+            b, geo["h_out_pad"], geo["w_out_pad"], c
+        )[:, :h, :w]
         return out.astype(out_dtype)
 
     def gather_branch(img, coords):

@@ -286,6 +286,109 @@ def test_packed_taps_gradients():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_packed_taps_2d_band_matches_gather(padding_mode):
+    """Column banding (xband/cols_per_chunk): values exact vs gather."""
+    from sc_sfmlearner_release_tpu.ops.warp_band import (
+        warp_sample_band_packed,
+    )
+
+    rng = np.random.RandomState(12)
+    b, h, w, c = 2, 32, 48, 4
+    img = _bf16_img(rng, (b, h, w, c))
+    coords = _near_identity_coords(rng, b, h, w, dy_px=3.0, dx_px=3.0)
+    ref = grid_sample(img, coords, padding_mode=padding_mode)
+    got = warp_sample_band_packed(img, coords, padding_mode=padding_mode,
+                                  band=16, rows_per_chunk=4,
+                                  grad_channels=2, xband=16,
+                                  cols_per_chunk=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=5e-6)
+
+
+def test_packed_taps_2d_band_x_violation_falls_back():
+    """x displacements beyond the column margin -> exact gather fallback."""
+    from sc_sfmlearner_release_tpu.ops.warp_band import (
+        warp_sample_band_packed,
+    )
+
+    rng = np.random.RandomState(13)
+    b, h, w, c = 1, 24, 32, 3
+    img = _bf16_img(rng, (b, h, w, c))
+    coords = _near_identity_coords(rng, b, h, w, dy_px=1.0, dx_px=0.0)
+    coords = coords + jnp.asarray([2 * 12.0 / w, 0.0])  # +12 px, margin 4
+    ref = grid_sample(img, coords, padding_mode="zeros")
+    got = warp_sample_band_packed(img, coords, band=16, rows_per_chunk=4,
+                                  grad_channels=0, xband=16,
+                                  cols_per_chunk=8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_packed_taps_2d_band_gradients_and_odd_size():
+    """2-D band gradients vs gather; odd h/w exercises both padded tails."""
+    from sc_sfmlearner_release_tpu.ops.warp_band import (
+        warp_sample_band_packed,
+    )
+
+    rng = np.random.RandomState(14)
+    b, h, w = 1, 16, 20
+    img = _bf16_img(rng, (b, h, w, 3))
+    coords = _near_identity_coords(rng, b, h, w, dy_px=2.0, dx_px=2.0)
+
+    def loss_ref(i, co):
+        return jnp.sum(grid_sample(i, co, padding_mode="zeros") ** 2)
+
+    def loss_band(i, co):
+        return jnp.sum(
+            warp_sample_band_packed(i, co, band=12, rows_per_chunk=4,
+                                    grad_channels=1, xband=12,
+                                    cols_per_chunk=4) ** 2)
+
+    gi_ref, gc_ref = jax.grad(loss_ref, argnums=(0, 1))(img, coords)
+    gi_b, gc_b = jax.grad(loss_band, argnums=(0, 1))(img, coords)
+    np.testing.assert_allclose(np.asarray(gi_b[..., 0]),
+                               np.asarray(gi_ref[..., 0]),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(gi_b[..., 1:]),
+                                  np.zeros_like(np.asarray(gi_b[..., 1:])))
+    np.testing.assert_allclose(np.asarray(gc_b), np.asarray(gc_ref),
+                               rtol=1e-3, atol=1e-3)
+
+    b, h, w, c = 1, 29, 33, 2
+    img3 = _bf16_img(rng, (b, h, w, c))
+    coords3 = _near_identity_coords(rng, b, h, w, dy_px=2.0, dx_px=2.0)
+    ref3 = grid_sample(img3, coords3)
+    got3 = warp_sample_band_packed(img3, coords3, band=16, rows_per_chunk=4,
+                                   grad_channels=1, xband=12,
+                                   cols_per_chunk=8)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3),
+                               rtol=1e-6, atol=5e-6)
+
+
+def test_inverse_warp2_2d_band_sampler_string():
+    """'band<N>x<XB>c<cols>' parses and agrees with gather end-to-end."""
+    from sc_sfmlearner_release_tpu.ops.geometry import inverse_warp2
+
+    rng = np.random.RandomState(15)
+    b, h, w = 2, 32, 40
+    img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    depth = jnp.asarray(2.0 + rng.rand(b, h, w, 1).astype(np.float32))
+    ref_depth = jnp.asarray(2.0 + rng.rand(b, h, w, 1).astype(np.float32))
+    pose = jnp.asarray(rng.randn(b, 6).astype(np.float32) * 0.02)
+    k = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]], np.float32)
+    intr = jnp.asarray(np.broadcast_to(k, (b, 3, 3)).copy())
+
+    out_g = inverse_warp2(img, depth, ref_depth, pose, intr, sampler="gather")
+    out_b = inverse_warp2(img, depth, ref_depth, pose, intr,
+                          sampler="band16x24c8")
+    np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_g[0]),
+                               atol=4e-3)
+    np.testing.assert_array_equal(np.asarray(out_b[1]), np.asarray(out_g[1]))
+    np.testing.assert_allclose(np.asarray(out_b[2]), np.asarray(out_g[2]),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_b[3]), np.asarray(out_g[3]))
+
+
 def test_inverse_warp2_band_uses_packed_taps():
     """End-to-end inverse_warp2 band sampler parity (packed taps path)."""
     from sc_sfmlearner_release_tpu.ops.geometry import inverse_warp2

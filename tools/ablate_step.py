@@ -182,6 +182,11 @@ CONFIGS = {
     "b16_f12": {"batch": 16, "fused": 12},
     "r50": {"layers": 50},
     "band64nf": {"sampler": "band64nf"},
+    # 2-D banding: x<window>c<tile-cols>; margins 104/64/64 px.
+    "band64x416c208": {"sampler": "band64x416c208"},
+    "band64x336c208": {"sampler": "band64x336c208"},
+    "band64x232c104": {"sampler": "band64x232c104"},
+    "band64x336c208nf": {"sampler": "band64x336c208nf"},
     "b16_gather": {"batch": 16, "sampler": "gather", "fused": 8,
                    "augment": False},
     "b16_convs": {"batch": 16, "convs_only": True, "fused": 8,
