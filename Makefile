@@ -12,6 +12,12 @@ test-fullopt:    ## golden/parity subset under the production XLA pipeline
 		tests/test_geometry.py tests/test_grid_sample.py \
 		tests/test_losses.py tests/test_metrics.py \
 		tests/test_warp_band.py tests/test_packed_decoder.py
+	# full-step coverage under the production pipeline: torch parity of
+	# the canonical band64 loss+grads AND the shipped fused train step
+	# (scan+augment+Adam) compiled+run deterministically (VERDICT r3 #8)
+	PALLAS_AXON_POOL_IPS= SCSFM_TEST_FULL_OPT=1 python -m pytest -q \
+		tests/test_fullstep_parity.py \
+		-k "canonical-band64 or production_train_step_fullopt"
 
 bench:           ## canonical train-step throughput on the attached TPU
 	python bench.py

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -54,6 +55,7 @@ import numpy as np
 BASELINE_SNIPPETS_PER_SEC_EST = 5.0
 BATCH, N_REFS, H, W = 4, 2, 256, 832
 FUSED = 16
+SAMPLER = "band64"  # the production warp sampler
 N_STAGED = 3      # distinct pre-staged stacked batches, cycled
 K_SMALL = 2       # short chain (dispatches)
 MAX_SECONDS = 60  # target device time for the long chain
@@ -174,7 +176,7 @@ def main() -> None:
     step = make_train_step(
         disp_model, pose_model, tx,
         LossConfig(num_scales=1, with_ssim=True, with_mask=True,
-                   with_auto_mask=True, sampler="band64"),
+                   with_auto_mask=True, sampler=SAMPLER),
         augment_fn=make_device_augment(AugmentConfig()),
         fused_steps=FUSED,
     )
@@ -289,6 +291,28 @@ def main() -> None:
     if host_fed_per_chip is not None:
         record["host_fed_value"] = round(host_fed_per_chip, 3)
         record["host_pipeline_only_value"] = round(host_only, 1)
+
+    # Utilization trajectory (VERDICT r3 item 6): useful-model MFU counts
+    # only FLOPs a perfect implementation needs; hw_util counts every FLOP
+    # the program issues incl. the band-warp's one-hot matmuls (formulation
+    # overhead spent to dodge TPU gathers). See tools/mfu_report.py.
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.mfu_report import flop_model, peak_tflops
+
+        fm = flop_model(SAMPLER, BATCH, N_REFS, H, W)
+        dt = per_dispatch / FUSED
+        peak = peak_tflops()
+        record["useful_mfu"] = round(fm["useful"] / dt / 1e12 / peak, 4)
+        record["hw_util"] = round(fm["issued"] / dt / 1e12 / peak, 4)
+        print(
+            f"[bench] utilization: useful-model MFU "
+            f"{record['useful_mfu']:.1%}, hardware {record['hw_util']:.1%} "
+            f"of ~{peak:.0f} bf16 TFLOP/s peak", file=sys.stderr,
+        )
+    except Exception as e:  # never let the report break the bench emit
+        print(f"[bench] utilization accounting failed: {type(e).__name__}:"
+              f" {e}", file=sys.stderr)
     print(json.dumps(record))
 
 

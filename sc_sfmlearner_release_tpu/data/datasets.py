@@ -146,7 +146,18 @@ class ValidationSet:
     def load(self, index: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         img = _imread_f32(self.imgs[index])
         if self.dataset == "nyu":
-            depth = _imread_f32(self.depths[index]) / 5000.0
+            # single-channel 16-bit depth png / 5000 (reference:
+            # datasets/validation_folders.py:56) — NOT the RGB image
+            # reader, whose grayscale->3-channel stacking would hand the
+            # eval step a [H, W, 3] depth map.
+            import imageio.v2 as imageio
+
+            depth = np.asarray(
+                imageio.imread(self.depths[index])
+            ).astype(np.float32)
+            if depth.ndim == 3:  # tolerate RGB-encoded depth dumps
+                depth = depth[..., 0]
+            depth = depth / 5000.0
         else:
             depth = np.load(self.depths[index]).astype(np.float32)
         if self.transform is not None:

@@ -199,7 +199,7 @@ def inverse_warp(
 
 _SAMPLER_RE = re.compile(
     r"^(gather|mxu|band(?P<band>\d+)?(?P<rows>r\d+)?"
-    r"(?P<xband>x\d+)?(?P<cols>c\d+)?(?P<nf>nf)?)$"
+    r"(?:(?P<xband>x\d+)(?P<cols>c\d+)?)?(?P<nf>nf)?)$"
 )
 
 
@@ -209,13 +209,22 @@ def validate_sampler(sampler: str) -> None:
     Without this, a malformed band-width parse only surfaces as an opaque
     ValueError deep inside jit tracing.
     """
-    if not isinstance(sampler, str) or not _SAMPLER_RE.match(sampler):
+    m = _SAMPLER_RE.match(sampler) if isinstance(sampler, str) else None
+    if not m:
         raise ValueError(
             f"unknown sampler {sampler!r}: expected 'gather', 'mxu', "
             "'band', 'band<N>', 'band<N>r<rows>', or "
             "'band<N>x<xband>[c<cols>]' (e.g. 'band64', 'band64r16', "
             "'band64x384c256')"
         )
+    if m.group("xband") and m.group("cols"):
+        xb, cols = int(m.group("xband")[1:]), int(m.group("cols")[1:])
+        if cols > xb or (xb - cols) % 2:
+            raise ValueError(
+                f"sampler {sampler!r}: c<cols> must be <= x<xband> with an "
+                f"even margin (xband - cols = {xb - cols} is "
+                f"{'odd' if (xb - cols) % 2 else 'negative'})"
+            )
 
 
 def _parse_band(sampler: str):
@@ -233,6 +242,55 @@ def _parse_band(sampler: str):
     xband = int(m.group("xband")[1:]) if m.group("xband") else None
     cols = int(m.group("cols")[1:]) if m.group("cols") else None
     return band, rows, xband, cols, m.group("nf") is None
+
+
+def project_pixel_coords(
+    depth: jax.Array,
+    pose: jax.Array,
+    intrinsics: jax.Array,
+    padding_mode: str = "zeros",
+) -> Tuple[jax.Array, jax.Array]:
+    """The warp's projection front-end: backproject target pixels with
+    ``depth`` ``[B, H, W, 1]``, transform by ``pose`` ``[B, 6]``, project
+    into the source frame. Returns (normalized coords ``[B, H, W, 2]``,
+    computed depth ``[B, H, W, 1]``). Shared by :func:`inverse_warp2` and
+    :func:`band_fallback_flags` so the two build identical subgraphs
+    (XLA CSEs them when jitted together)."""
+    cam_coords = pixel2cam(depth[..., 0], jnp.linalg.inv(intrinsics))
+    pose_mat = pose_vec2mat(pose)
+    proj = jnp.matmul(intrinsics, pose_mat, precision=_HIGHEST)
+    return cam2pixel(cam_coords, proj, padding_mode)
+
+
+def band_fallback_flags(
+    depth: jax.Array,
+    pose: jax.Array,
+    intrinsics: jax.Array,
+    sampler: str,
+    padding_mode: str = "zeros",
+) -> jax.Array:
+    """Per-batch-element fallback flags ``[B]`` bool for a band sampler.
+
+    True where this element's warp leaves the sampler's (row/column) band
+    window — i.e. would trigger :func:`ops.warp_band.warp_sample_band_packed`'s
+    whole-call exact-gather fallback. The projection subgraph is identical
+    to the real warp's, so computing these flags next to the warp inside
+    one jitted step costs ~nothing (CSE). Non-band samplers (or ``nf``
+    variants, which never fall back) return all-False.
+    """
+    validate_sampler(sampler)
+    b = depth.shape[0]
+    if not sampler.startswith("band"):
+        return jnp.zeros((b,), bool)
+    band, rows, xband, cols, fb = _parse_band(sampler)
+    if not fb:
+        return jnp.zeros((b,), bool)
+    from .warp_band import band_fits_per_element
+
+    coords, _ = project_pixel_coords(depth, pose, intrinsics, padding_mode)
+    return ~band_fits_per_element(
+        coords, padding_mode, band, rows, xband, cols
+    )
 
 
 def inverse_warp2(
@@ -263,15 +321,20 @@ def inverse_warp2(
           (golden-tested vs torch CPU). Exact, but XLA lowers TPU gathers
           to ~0.1 G values/s (element-at-a-time HBM walks), which makes
           it the train step's dominant cost at the canonical config.
-        * ``"band"`` (optionally ``"band<N>[r<rows>][nf]"``, e.g.
-          ``"band96"``, ``"band64r16"``) — the
+        * ``"band"`` (optionally ``"band<N>[r<rows>][x<XB>[c<cols>]][nf]"``,
+          e.g. ``"band96"``, ``"band64r16"``, ``"band64x416c208"``) — the
           banded one-hot MXU formulation (ops/warp_band.py): scatter- and
           gather-free, bf16-exact image values, fp32-exact sampled depth
           via hi/lo splitting, with an exact whole-call gather fallback
           when a warp exceeds the N-row vertical band. The TPU hot-path
-          choice. ``r<rows>`` sets the output rows per chunk; ``nf``
-          drops the exactness fallback (~4.6 ms/step of cond overhead;
-          out-of-band warps clamp to the window edge — opt-in only).
+          choice. ``r<rows>`` sets the output rows per chunk; ``x<XB>``
+          adds 2-D column banding (each (rows x cols) output tile's x
+          one-hot contracts over an XB-column source window — horizontal
+          displacement budget ``(XB - cols) // 2`` columns, same gather
+          fallback on violation; ``c<cols>`` sets the tile width, default
+          ~XB/2); ``nf`` drops the exactness fallback (~4.6 ms/step of
+          cond overhead; out-of-band warps clamp to the window edge —
+          opt-in only).
         * ``"mxu"`` — round-1's unbanded one-hot formulation
           (ops/warp_mxu.py), kept as a tested alternative; ~band/H times
           the band sampler's FLOPs, never preferable.
@@ -296,10 +359,9 @@ def inverse_warp2(
 
     validate_sampler(sampler)
 
-    cam_coords = pixel2cam(depth[..., 0], jnp.linalg.inv(intrinsics))
-    pose_mat = pose_vec2mat(pose)
-    proj = jnp.matmul(intrinsics, pose_mat, precision=_HIGHEST)
-    coords, computed_depth = cam2pixel(cam_coords, proj, padding_mode)
+    coords, computed_depth = project_pixel_coords(
+        depth, pose, intrinsics, padding_mode
+    )
 
     # The sampled IMAGE values never need a gradient: ``img`` is input data
     # (camera frames), not a network output, so d(loss)/d(img) is discarded

@@ -136,7 +136,8 @@ def photo_and_geometry_loss(
     padding_mode: str = "zeros",
     sampler: str = "gather",
     sample_mask: jax.Array = None,
-) -> Tuple[jax.Array, jax.Array]:
+    return_band_stats: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Bidirectional photometric + geometry-consistency loss over a snippet.
 
     Reference behavior: loss_functions.py:50-92 — for every reference frame
@@ -156,9 +157,15 @@ def photo_and_geometry_loss(
         (e.g. the loader's padded duplicates in the trailing validation
         batch) are excluded from every masked mean exactly as if the batch
         had been smaller.
+      return_band_stats: also return ``band_oob`` ``[2N*B]`` bool — per
+        directed pair, whether the scale-0 warp leaves a band sampler's
+        window (any True means that warp call paid the exact-gather
+        fallback). All-False for non-band/nf samplers. ~Free next to the
+        real warp (identical projection subgraph, CSE'd by XLA).
 
     Returns:
-      (photo_loss, geometry_loss) scalars, summed over pairs and scales.
+      (photo_loss, geometry_loss) scalars, summed over pairs and scales;
+      plus ``band_oob`` when ``return_band_stats``.
     """
     b, n = ref_imgs.shape[0], ref_imgs.shape[1]
     h, w = tgt_img.shape[1], tgt_img.shape[2]
@@ -184,6 +191,7 @@ def photo_and_geometry_loss(
 
     photo_total = jnp.zeros((), tgt_img.dtype)
     geom_total = jnp.zeros((), tgt_img.dtype)
+    band_oob = jnp.zeros((2 * n * b,), bool)
 
     # The post-warp chain runs in NCHW (pair dim outermost, W minor): with
     # NHWC inputs XLA's layout assignment migrated the tiny pair/channel
@@ -201,6 +209,13 @@ def photo_and_geometry_loss(
         ref_d = ref_d.reshape((b * n,) + ref_d.shape[2:])
         ref_d = _upsample_nearest(ref_d, h, w).reshape(b, n, h, w, 1)
         tgt_d_f, src_d_f = flatten_pairs(tgt_d, ref_d)
+
+        if return_band_stats and s == 0:
+            from .geometry import band_fallback_flags
+
+            band_oob = band_fallback_flags(
+                tgt_d_f, poses_f, intr_f, sampler, padding_mode
+            )
 
         warped, valid, projected_depth, computed_depth = inverse_warp2(
             src_imgs_f, tgt_d_f, src_d_f, poses_f, intr_f, padding_mode, sampler
@@ -242,6 +257,8 @@ def photo_and_geometry_loss(
         photo_total += jnp.sum(_grouped_mean_on_mask(group(diff_img), group(valid_c)))
         geom_total += jnp.sum(_grouped_mean_on_mask(group(diff_depth), group(valid_c)))
 
+    if return_band_stats:
+        return photo_total, geom_total, band_oob
     return photo_total, geom_total
 
 

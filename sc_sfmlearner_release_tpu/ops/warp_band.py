@@ -349,12 +349,16 @@ def _band_geometry(coords, h, w, padding_mode, band, rows,
     }
     in0 = (by0 == 0) | ((rel0 >= 0) & (rel0 <= band - 1))
     in1 = (by1 == 0) | ((rel1 >= 0) & (rel1 <= band - 1))
-    fits = jnp.all(in0) & jnp.all(in1)
+    ok = in0 & in1
     if xband < w:  # the full-width window can never miss in x
         jn0 = (ax0 == 0) | ((relx0 >= 0) & (relx0 <= xband - 1))
         jn1 = (ax1 == 0) | ((relx0 + 1 >= 0) & (relx0 + 1 <= xband - 1))
-        fits = fits & jnp.all(jn0) & jnp.all(jn1)
-    return geo, fits
+        ok = ok & jn0 & jn1
+    # Per-batch-element fits [B]: lets callers report WHICH warps violate
+    # the band (fallback observability) at no extra cost — the whole-call
+    # predicate is jnp.all of this.
+    fits_elem = jnp.all(ok, axis=(0, 2))
+    return geo, fits_elem
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -526,16 +530,23 @@ def warp_sample_band_packed(
         raise ValueError("band must be a multiple of rows_per_chunk")
     if xband is not None:
         if cols_per_chunk is None:
+            # Default to ~half the window, parity-matched to xband so the
+            # margin (xband - cols) / 2 is integral for any xband.
             cols_per_chunk = max(xband // 2, 1)
+            if (xband - cols_per_chunk) % 2:
+                cols_per_chunk = max(cols_per_chunk - 1, 1)
         if cols_per_chunk > xband or (xband - cols_per_chunk) % 2:
             raise ValueError(
-                "xband must be >= cols_per_chunk with an even margin"
+                f"xband ({xband}) must be >= cols_per_chunk "
+                f"({cols_per_chunk}; defaults to ~xband/2 parity-matched) "
+                "with an even margin"
             )
         if xband >= w:  # full-width window: identical to the 1-D form
             xband = cols_per_chunk = None
     rows = rows_per_chunk
-    geo, fits = _band_geometry(coords, h, w, padding_mode, band, rows,
-                               xband, cols_per_chunk)
+    geo, fits_elem = _band_geometry(coords, h, w, padding_mode, band, rows,
+                                    xband, cols_per_chunk)
+    fits = jnp.all(fits_elem)
     band_eff, margin, nchunk = geo["band"], geo["margin"], geo["nchunk"]
     xband_eff, xmargin, ncol = geo["xband"], geo["xmargin"], geo["ncol"]
     out_dtype = img.dtype
@@ -580,3 +591,34 @@ def warp_sample_band_packed(
         # Only for callers that mask such pixels anyway (measurement use).
         return band_branch(img, coords)
     return jax.lax.cond(fits, band_branch, gather_branch, img, coords)
+
+
+def band_fits_per_element(
+    coords: jax.Array,
+    padding_mode: str = "zeros",
+    band: int = 64,
+    rows_per_chunk: int = 8,
+    xband: int = None,
+    cols_per_chunk: int = None,
+) -> jax.Array:
+    """Per-batch-element band-fit predicate ``[B]`` (True = in-band).
+
+    Evaluates the same exactness guard :func:`warp_sample_band_packed`
+    uses for its whole-call gather fallback, but per batch element — the
+    observability hook behind the train step's ``band_fallback`` metric.
+    Computing it alongside the real warp is ~free: the geometry is an
+    identical pure subgraph, which XLA common-subexpression-eliminates.
+    """
+    b, h, w, _ = coords.shape
+    if xband is not None:
+        if cols_per_chunk is None:
+            cols_per_chunk = max(xband // 2, 1)
+            if (xband - cols_per_chunk) % 2:
+                cols_per_chunk = max(cols_per_chunk - 1, 1)
+        if xband >= w:
+            xband = cols_per_chunk = None
+    _, fits_elem = _band_geometry(
+        coords, h, w, padding_mode, band, rows_per_chunk, xband,
+        cols_per_chunk,
+    )
+    return fits_elem

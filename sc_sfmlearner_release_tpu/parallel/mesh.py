@@ -82,6 +82,44 @@ def _spec_for(key: str, ndim: int, mesh: Mesh, axis_name: str, offset: int = 0):
     return P(*parts)
 
 
+# Per-transfer staging chunk: host arrays larger than this are staged as
+# several smaller device_puts along the leading (fused-steps) axis and
+# reassembled on-device. The XLA:TPU runtime kernel-faults when a single
+# staged fused-steps input transfer reaches ~368 MB (docs/DESIGN.md §1);
+# bounding each TRANSFER under the verified-good envelope lifts the
+# b16 x fused-12/16 configs that the round-3 fence rejected.
+STAGE_CHUNK_BYTES = 128 * 1024 * 1024
+
+# jitted on-device reassembly, cached per (shape, dtype, sharding)
+_concat_cache: dict = {}
+
+
+def _chunked_device_put(x: np.ndarray, sharding: NamedSharding):
+    """device_put ``x`` as ceil(nbytes / STAGE_CHUNK_BYTES) separate
+    leading-axis slices, then concatenate on-device with the target
+    sharding. Each H2D transfer stays under the chunk size; the transient
+    cost is one extra on-device copy of ``x``."""
+    import math
+
+    import jax.numpy as jnp
+
+    n_chunks = min(int(math.ceil(x.nbytes / STAGE_CHUNK_BYTES)), x.shape[0])
+    per = int(math.ceil(x.shape[0] / n_chunks))
+    bounds = [(i * per, min((i + 1) * per, x.shape[0]))
+              for i in range(n_chunks)]
+    bounds = [b for b in bounds if b[1] > b[0]]
+    parts = [jax.device_put(np.ascontiguousarray(x[lo:hi]), sharding)
+             for lo, hi in bounds]
+    key = (tuple(p.shape for p in parts), x.dtype.str, sharding)
+    fn = _concat_cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda *xs: jnp.concatenate(xs, axis=0), out_shardings=sharding
+        )
+        _concat_cache[key] = fn
+    return fn(*parts)
+
+
 def shard_batch(
     batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS, stacked: bool = False
 ) -> Any:
@@ -91,8 +129,9 @@ def shard_batch(
     image-like entries additionally shard their width axis. Under
     multi-host, arrays are assembled from per-process local shards.
     ``stacked=True``: batches carry a leading fused-steps axis ([K, B, ...],
-    see training.make_train_step) — the scan axis replicates and the batch
-    axis is axis 1.
+    see training.make_train_step) — the scan axis replicates, the batch
+    axis is axis 1, and large arrays are staged as multiple bounded
+    transfers (see ``STAGE_CHUNK_BYTES``).
     """
     offset = 1 if stacked else 0
 
@@ -103,6 +142,8 @@ def shard_batch(
         )
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(sharding, x)
+        if stacked and x.nbytes > STAGE_CHUNK_BYTES and x.shape[0] > 1:
+            return _chunked_device_put(x, sharding)
         return jax.device_put(x, sharding)
 
     if isinstance(batch, dict):

@@ -138,8 +138,17 @@ def _total_loss(
     def pose_fn(pose_vars, tgt, refs):
         return compute_pose_with_inv(pose_model, pose_vars, tgt, refs, train)
 
+    # Track the band sampler's exact-gather fallback (the 'nf' variants
+    # and non-band samplers never fall back): ~free next to the real warp
+    # (identical projection subgraph — see ops.geometry.band_fallback_flags).
+    track_band = (
+        train
+        and cfg.sampler.startswith("band")
+        and not cfg.sampler.endswith("nf")
+    )
+
     def loss_fn(tgt, refs, intrinsics, tgt_depth, ref_depths, poses, poses_inv):
-        photo, geom = photo_and_geometry_loss(
+        out = photo_and_geometry_loss(
             tgt, refs, intrinsics, tgt_depth, ref_depths, poses, poses_inv,
             num_scales=cfg.num_scales,
             with_ssim=cfg.with_ssim,
@@ -148,9 +157,12 @@ def _total_loss(
             padding_mode=cfg.padding_mode,
             sampler=cfg.sampler,
             sample_mask=sample_mask,
+            return_band_stats=track_band,
         )
+        photo, geom = out[0], out[1]
+        band_oob = out[2] if track_band else None
         smooth = smooth_loss(tgt_depth, tgt, ref_depths, refs, sample_mask)
-        return photo, geom, smooth
+        return photo, geom, smooth, band_oob
 
     if remat:
         # Trade FLOPs for HBM: recompute the networks' activations and the
@@ -169,7 +181,7 @@ def _total_loss(
         tgt, refs,
     )
 
-    photo, geom, smooth = loss_fn(
+    photo, geom, smooth, band_oob = loss_fn(
         tgt, refs, intrinsics, tgt_depth, ref_depths, poses, poses_inv
     )
 
@@ -184,6 +196,12 @@ def _total_loss(
         "smooth_loss": smooth,
         "geometry_loss": geom,
     }
+    if band_oob is not None:
+        # 1.0 when this step's scale-0 warp paid the exact-gather fallback
+        # (ANY directed pair left the band window).
+        metrics["band_fallback"] = jnp.any(
+            jax.lax.stop_gradient(band_oob)
+        ).astype(jnp.float32)
     new_stats = {"disp": disp_stats, "pose": pose_stats}
     return total, (metrics, new_stats)
 

@@ -59,6 +59,25 @@ def test_validation_set(scene_root):
     assert s["depth"].shape == (24, 32)
 
 
+def test_validation_set_nyu_depth_single_channel(scene_root):
+    """NYU GT depth pngs (uint16, /5000) must load as [H, W] — the RGB
+    image reader's grayscale->3-channel stacking handed the eval step a
+    [H, W, 3] depth map (caught by the NYU runbook smoke, round 4)."""
+    import os
+
+    import imageio.v2 as imageio
+
+    rng = np.random.RandomState(1)
+    d = os.path.join(scene_root, "scene_b", "depth")
+    for i in range(4):
+        depth = ((rng.rand(24, 32) * 4 + 1) * 5000).astype(np.uint16)
+        imageio.imwrite(os.path.join(d, f"{i:07d}.png"), depth)
+    ds = ValidationSet(scene_root, dataset="nyu")
+    s = ds.load(0, np.random.default_rng(0))
+    assert s["depth"].shape == (24, 32)
+    assert 0.5 < s["depth"].mean() < 6.0  # /5000 scaling applied
+
+
 def test_flip_adjusts_cx():
     rng_flip = np.random.default_rng(1)  # first draw < 0.5 -> flips
     imgs = [np.arange(24.0).reshape(2, 4, 3)]

@@ -263,3 +263,55 @@ def test_fullstep_loss_nonzero_and_finite():
         float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(j_grads)
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+@pytest.mark.slow
+@pytest.mark.fullopt
+def test_production_train_step_fullopt():
+    """The SHIPPED train step — make_train_step's fused lax.scan with
+    device augmentation, the band64 sampler, Adam and donation — compiled
+    under the PRODUCTION XLA pipeline (fullopt marker; the default suite
+    compiles with jax_disable_most_optimizations for speed). Guards
+    against pipeline-only miscompiles the op-level fullopt goldens can't
+    see: runs dispatches and asserts determinism (two runs from the same
+    state agree exactly) plus finite loss/params (VERDICT r3 item 8)."""
+    from sc_sfmlearner_release_tpu.data.device_augment import (
+        AugmentConfig, make_device_augment,
+    )
+    from sc_sfmlearner_release_tpu.training import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    b, n, h, w, fused = 2, 2, 32, 64, 2
+    rng = np.random.RandomState(0)
+    k = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]], np.float32)
+    batch = {
+        "tgt": rng.randint(0, 256, (fused, b, h, w, 3)).astype(np.uint8),
+        "refs": rng.randint(0, 256, (fused, b, n, h, w, 3)).astype(np.uint8),
+        "intrinsics": np.broadcast_to(k, (fused, b, 3, 3)).copy(),
+    }
+    disp_model = DispNet(num_layers=18)
+    pose_model = PoseNet(num_layers=18)
+    tx = make_optimizer(1e-4)
+    cfg = LossConfig(num_scales=1, with_ssim=True, with_mask=True,
+                     with_auto_mask=True, sampler="band64")
+    step = make_train_step(
+        disp_model, pose_model, tx, cfg,
+        augment_fn=make_device_augment(AugmentConfig()), fused_steps=fused,
+    )
+
+    def run():
+        state = create_train_state(
+            disp_model, pose_model, tx, jax.random.PRNGKey(0),
+            image_shape=(1, h, w, 3),
+        )
+        state, m1 = step(state, batch)
+        state, m2 = step(state, batch)
+        return state, np.asarray(m2["loss"], np.float64)
+
+    state_a, loss_a = run()
+    state_b, loss_b = run()
+    assert np.isfinite(loss_a).all()
+    np.testing.assert_array_equal(loss_a, loss_b)
+    for leaf in jax.tree_util.tree_leaves(state_a.params):
+        assert np.isfinite(np.asarray(leaf)).all()

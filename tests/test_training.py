@@ -349,3 +349,30 @@ def test_train_step_sequence_length_5():
     }
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_chunked_staging_matches_direct():
+    """shard_batch's bounded-transfer staging (stacked arrays larger than
+    STAGE_CHUNK_BYTES go up as several leading-axis slices + an on-device
+    concat) produces bitwise-identical device arrays with the same
+    sharding as a single device_put."""
+    from sc_sfmlearner_release_tpu.parallel import mesh as pmesh
+
+    mesh = make_mesh()
+    rng = np.random.RandomState(3)
+    host = {
+        "tgt": rng.randint(0, 256, (5, 8, 16, 24, 3)).astype(np.uint8),
+        "intrinsics": rng.rand(5, 8, 3, 3).astype(np.float32),
+    }
+    direct = shard_batch(host, mesh, stacked=True)
+    old = pmesh.STAGE_CHUNK_BYTES
+    pmesh.STAGE_CHUNK_BYTES = 4096  # force chunking for every array
+    try:
+        chunked = shard_batch(host, mesh, stacked=True)
+    finally:
+        pmesh.STAGE_CHUNK_BYTES = old
+    for k in host:
+        np.testing.assert_array_equal(
+            np.asarray(chunked[k]), np.asarray(direct[k])
+        )
+        assert chunked[k].sharding == direct[k].sharding, k

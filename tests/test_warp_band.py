@@ -411,3 +411,81 @@ def test_inverse_warp2_band_uses_packed_taps():
     np.testing.assert_allclose(float(lb), float(lg), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gg),
                                rtol=2e-2, atol=2e-4)
+
+
+def test_band_fits_per_element_and_fallback_flags():
+    """Per-element fits flags agree with the whole-call fallback guard,
+    and the geometry-level band_fallback_flags wrapper matches the actual
+    sampler behavior on real projective warps."""
+    from sc_sfmlearner_release_tpu.ops.geometry import band_fallback_flags
+    from sc_sfmlearner_release_tpu.ops.warp_band import band_fits_per_element
+
+    rng = np.random.RandomState(11)
+    b, h, w = 3, 24, 32
+    # Element 0: small displacement (fits). Element 1: huge vertical
+    # displacement, in-frame (violates). Element 2: small again.
+    coords = np.array(_near_identity_coords(rng, b, h, w, dy_px=1.0))
+    coords[1, ..., 1] = np.clip(coords[1, ..., 1] + 0.9, -0.99, 0.99)
+    coords = jnp.asarray(coords)
+    fits = np.asarray(band_fits_per_element(coords, band=8, rows_per_chunk=4))
+    assert fits.tolist() == [True, False, True]
+
+    # 2-D banding: big HORIZONTAL displacement violates only the x window.
+    coords_x = np.array(_near_identity_coords(rng, b, h, w, dy_px=1.0,
+                                              dx_px=1.0))
+    coords_x[2, ..., 0] = np.clip(coords_x[2, ..., 0] + 0.8, -0.99, 0.99)
+    coords_x = jnp.asarray(coords_x)
+    fits_1d = np.asarray(band_fits_per_element(coords_x, band=8,
+                                               rows_per_chunk=4))
+    assert fits_1d.tolist() == [True, True, True]
+    fits_2d = np.asarray(band_fits_per_element(
+        coords_x, band=8, rows_per_chunk=4, xband=16, cols_per_chunk=8))
+    assert fits_2d.tolist() == [True, True, False]
+
+    # geometry-level wrapper on a real projective warp: identity pose fits,
+    # a large-vertical-translation pose (ty shifts everything down in
+    # frame) falls back; nf/gather samplers never flag.
+    depth = jnp.ones((2, h, w, 1), jnp.float32) * 5.0
+    k = jnp.asarray([[[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]]] * 2)
+    pose = jnp.asarray([[0, 0, 0, 0, 0, 0],
+                        [0, 2.5, 0, 0, 0, 0]], jnp.float32)
+    flags = np.asarray(band_fallback_flags(depth, pose, k, "band8r4"))
+    assert flags.tolist() == [False, True]
+    assert not np.asarray(
+        band_fallback_flags(depth, pose, k, "band8r4nf")).any()
+    assert not np.asarray(band_fallback_flags(depth, pose, k, "gather")).any()
+
+
+def test_train_step_band_fallback_metric():
+    """The train step reports band_fallback=0.0 for in-band synthetic data
+    (tiny pose head outputs -> near-identity warps) and omits the metric
+    for the gather sampler."""
+    import jax.numpy as jnp
+
+    from sc_sfmlearner_release_tpu.models import DispNet, PoseNet
+    from sc_sfmlearner_release_tpu.training import (
+        LossConfig, create_train_state, make_optimizer, make_train_step,
+    )
+
+    h, w = 32, 64
+    disp = DispNet(num_layers=18)
+    pose = PoseNet(num_layers=18)
+    tx = make_optimizer(1e-4)
+    state = create_train_state(disp, pose, tx, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = {
+        "tgt": jnp.asarray(rng.rand(2, h, w, 3), jnp.float32),
+        "refs": jnp.asarray(rng.rand(2, 2, h, w, 3), jnp.float32),
+        "intrinsics": jnp.asarray(
+            np.broadcast_to(
+                np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]],
+                         np.float32), (2, 3, 3)).copy()),
+    }
+    step = make_train_step(disp, pose, tx, LossConfig(sampler="band64"))
+    _, metrics = step(state, batch)
+    assert float(metrics["band_fallback"]) == 0.0
+
+    state2 = create_train_state(disp, pose, tx, jax.random.PRNGKey(0))
+    step_g = make_train_step(disp, pose, tx, LossConfig(sampler="gather"))
+    _, metrics_g = step_g(state2, batch)
+    assert "band_fallback" not in metrics_g

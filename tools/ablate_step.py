@@ -187,6 +187,10 @@ CONFIGS = {
     "band64x336c208": {"sampler": "band64x336c208"},
     "band64x232c104": {"sampler": "band64x232c104"},
     "band64x336c208nf": {"sampler": "band64x336c208nf"},
+    "band64x416c208nf": {"sampler": "band64x416c208nf"},
+    # ncol=2 variants: halve the tile count the 4/8-column tilings pay for
+    "band64x624c416": {"sampler": "band64x624c416"},
+    "band64x512c416": {"sampler": "band64x512c416"},
     "b16_gather": {"batch": 16, "sampler": "gather", "fused": 8,
                    "augment": False},
     "b16_convs": {"batch": 16, "convs_only": True, "fused": 8,

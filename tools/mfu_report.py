@@ -34,6 +34,78 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 PEAK_TFLOPS = {"TPU v5 lite": 394.0 / 2, "TPU v4": 275.0, "default": 197.0}
 
 
+def flop_model(sampler: str, b: int, n: int = 2, h: int = 256, w: int = 832):
+    """FLOP accounting for one optimizer step at the canonical config.
+
+    Returns a dict with:
+      * ``conv``   — useful network FLOPs (unpacked-decoder forwards,
+        HLO-counted, x3 for fwd+bwd),
+      * ``warp``   — the band-warp's one-hot matmul FLOPs (formulation
+        overhead: spent to dodge TPU gathers, not model work),
+      * ``issued`` — conv + warp (what the MXU actually executes),
+      * ``useful`` — conv + an ideal ~8 FLOP/px bilinear combine.
+    Shared by this report and bench.py's JSON emit so the MFU trajectory
+    is tracked per round (VERDICT r3 item 6).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sc_sfmlearner_release_tpu.models import DispNet, PoseNet
+    from sc_sfmlearner_release_tpu.ops.geometry import _parse_band
+
+    frames, pairs = (1 + n) * b, 2 * n * b
+    px = h * w
+
+    def fwd_flops(fn, *xs):
+        c = jax.jit(fn).lower(*xs).compile().cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else c
+        return float(c.get("flops", 0.0))
+
+    # Count USEFUL model FLOPs from the UNPACKED decoder: the production
+    # lane-packed path issues zero-structured dense kernels at P x the
+    # mathematical FLOPs — formulation overhead, not model work (the
+    # packed encoder layer1's x2 remains in the count; it is small).
+    count_disp = DispNet(num_layers=18, dtype=jnp.bfloat16,
+                         packed_decoder=False)
+    pose = PoseNet(num_layers=18, dtype=jnp.bfloat16)
+    x1 = jnp.zeros((b, h, w, 3), jnp.float32)
+    try:
+        dvars = count_disp.init(jax.random.PRNGKey(0), x1, train=False)
+        pvars = pose.init(jax.random.PRNGKey(0), x1, x1, train=False)
+        disp_fwd = fwd_flops(
+            lambda v, x: count_disp.apply(v, x, train=False), dvars, x1
+        ) / b
+        pose_fwd = fwd_flops(
+            lambda v, x, y: pose.apply(v, x, y, train=False), pvars, x1, x1
+        ) / b
+    except Exception:
+        disp_fwd, pose_fwd = 125e9 * px / (256 * 832), 40e9 * px / (256 * 832)
+    conv = 3.0 * (disp_fwd * frames + pose_fwd * pairs)
+
+    warp = 0.0
+    if sampler.startswith("band"):
+        band, _, xband, _, _ = _parse_band(sampler)
+        xw = (xband if xband else w) + 1
+        c_all, gc = 5, 2
+        # forward pair-contraction over the (row x column) window + the
+        # gradient transpose over the grad channels
+        warp = 2.0 * pairs * px * xw * band * 2 * (c_all + gc)
+    useful = conv + 2.0 * pairs * px * 8 * 5
+    return {"conv": conv, "warp": warp, "issued": conv + warp,
+            "useful": useful}
+
+
+def peak_tflops() -> float:
+    """bf16 peak TFLOP/s of jax.devices()[0]."""
+    import jax
+
+    dev = jax.devices()[0]
+    return next(
+        (v for kdev, v in PEAK_TFLOPS.items() if kdev in str(dev.device_kind)),
+        PEAK_TFLOPS["default"],
+    )
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
@@ -107,51 +179,15 @@ def main(argv=None) -> int:
     # Analytic model-FLOPs lower bound per optimizer step: HLO-counted
     # FLOPs of the plain network forwards (convolutions dominate and are
     # not fusion-double-counted) x3 for fwd+bwd, plus the band-warp
-    # matmuls (per warped pixel: (W+1) x band x 2C MAC for the forward
-    # pair-contraction and x 2*gc for the gradient transpose).
-    frames, pairs = (1 + n) * b, 2 * n * b
-    px = h * w
-
-    def fwd_flops(fn, *xs):
-        c = jax.jit(fn).lower(*xs).compile().cost_analysis()
-        c = c[0] if isinstance(c, (list, tuple)) else c
-        return float(c.get("flops", 0.0))
-
-    # Count USEFUL model FLOPs from the UNPACKED decoder: the production
-    # lane-packed path issues zero-structured dense kernels at P x the
-    # mathematical FLOPs — formulation overhead, not model work (the
-    # packed encoder layer1's x2 remains in the count; it is small).
-    count_disp = DispNet(num_layers=18, dtype=jnp.bfloat16,
-                         packed_decoder=False)
-    dvars = count_disp.init(
-        jax.random.PRNGKey(0), batch["tgt"][0], train=False
-    )
-    pvars = pose.init(jax.random.PRNGKey(0), batch["tgt"][0],
-                      batch["tgt"][0], train=False)
-    try:
-        disp_fwd = fwd_flops(
-            lambda v, x: count_disp.apply(v, x, train=False),
-            dvars, batch["tgt"][0],
-        ) / b
-        pose_fwd = fwd_flops(
-            lambda v, x, y: pose.apply(v, x, y, train=False),
-            pvars, batch["tgt"][0], batch["tgt"][0],
-        ) / b
-    except Exception:
-        disp_fwd, pose_fwd = 125e9 * px / (256 * 832), 40e9 * px / (256 * 832)
-    conv_flops = 3.0 * (disp_fwd * frames + pose_fwd * pairs)
-    band = int(args.sampler[4:]) if args.sampler.startswith("band") else 0
-    warp_flops = 0.0
-    if band:
-        c_all, gc = 5, 2
-        warp_flops = 2.0 * pairs * px * (w + 1) * band * 2 * (c_all + gc)
-    model_flops = conv_flops + warp_flops
+    # matmuls (per warped pixel: (XB+1) x band x 2C MAC for the forward
+    # pair-contraction and x 2*gc for the gradient transpose) —
+    # see flop_model().
+    fm = flop_model(args.sampler, b, n, h, w)
+    conv_flops, warp_flops = fm["conv"], fm["warp"]
+    model_flops = fm["issued"]
 
     dev = jax.devices()[0]
-    peak = next(
-        (v for kdev, v in PEAK_TFLOPS.items() if kdev in str(dev.device_kind)),
-        PEAK_TFLOPS["default"],
-    )
+    peak = peak_tflops()
     print(f"device: {dev.device_kind}  peak ~{peak:.0f} bf16 TFLOP/s")
     print(f"config: b{b} {args.sampler} remat={args.remat} fused={fused}")
     print(f"measured step time (slope):   {dt * 1e3:.2f} ms")
@@ -168,7 +204,7 @@ def main(argv=None) -> int:
     #    need (convs + the ~8-FLOP/px bilinear combine): the band-warp
     #    matmuls are FORMULATION OVERHEAD spent to avoid TPU gathers and
     #    must not inflate the model-efficiency claim.
-    useful_flops = conv_flops + 2.0 * pairs * px * 8 * 5
+    useful_flops = fm["useful"]
     hw = model_flops / dt / 1e12
     useful = useful_flops / dt / 1e12
     print(f"issued flops/step: {model_flops / 1e9:.1f} GFLOP "

@@ -562,6 +562,10 @@ def main(argv=None) -> int:
                     tb_writer.add_scalar("disparity_smoothness_loss", m["smooth_loss"], n_iter)
                     tb_writer.add_scalar("geometry_consistency_loss", m["geometry_loss"], n_iter)
                     tb_writer.add_scalar("total_loss", m["loss"], n_iter)
+                    if "band_fallback" in m:
+                        tb_writer.add_scalar(
+                            "band_fallback", m["band_fallback"], n_iter
+                        )
                 logger.train_update(
                     min(epoch_steps, epoch_size),
                     f"Time {t_step} Data {t_data} Loss {losses}",
@@ -590,6 +594,19 @@ def main(argv=None) -> int:
             float(np.mean([r[0] for r in full_rows])) if full_rows else 0.0
         )
         logger.write(f" * Avg Loss : {train_loss:.3f}")
+        # Band-sampler fallback rate: each fallback step pays the exact
+        # gather path (~4.5x slower at the canonical config) — surface it
+        # so a throughput regression on real data is attributable.
+        fb = [
+            float(np.mean(np.asarray(m["band_fallback"], np.float64)))
+            for m in pending if "band_fallback" in m
+        ]
+        if fb and float(np.mean(fb)) > 0:
+            logger.write(
+                f" * Band-sampler fallback rate: {float(np.mean(fb)):.1%} "
+                "of steps took the exact-gather path (widen the band — "
+                "e.g. --sampler band96r8 — if this costs throughput)"
+            )
 
         if is_main:
             with open(os.path.join(save_path, args.log_full), "a", newline="") as f:
