@@ -61,9 +61,14 @@ K_SMALL = 2       # short chain (dispatches)
 MAX_SECONDS = 60  # target device time for the long chain
 
 
-def _make_packed_dir(tmp_dir: str, n_scenes: int = 2, frames_per: int = 220):
+def _make_packed_dir(tmp_dir: str, rendered, n_scenes: int = 2,
+                     frames_per: int = 220):
     """Synthetic packed dataset in the production wire format
-    (data/packed.py): one uint8 memmap + index.json."""
+    (data/packed.py): one uint8 memmap + index.json. Frames are a
+    triangle-wave replay of the ``rendered`` multi-view-consistent scene
+    (adjacent packed frames are always true spatial neighbors), so the
+    host-fed training chain stays in the band sampler's realistic-motion
+    regime like the device-only chain."""
     import json
 
     from sc_sfmlearner_release_tpu.data.packed import FRAMES_NAME, INDEX_NAME
@@ -73,9 +78,11 @@ def _make_packed_dir(tmp_dir: str, n_scenes: int = 2, frames_per: int = 220):
         f"{tmp_dir}/{FRAMES_NAME}", dtype=np.uint8, mode="w+",
         shape=(n, H, W, 3),
     )
-    r = np.random.RandomState(0)
+    m = len(rendered)
+    period = 2 * (m - 1)
     for i in range(n):  # per-frame fill keeps peak memory small
-        frames[i] = r.randint(0, 256, (H, W, 3), np.uint8)
+        t = i % period
+        frames[i] = rendered[t if t < m else period - t]
     frames.flush()
     k = [[241.67, 0, W / 2], [0, 246.28, H / 2], [0, 0, 1]]
     scenes = {
@@ -154,15 +161,43 @@ def main() -> None:
     mesh = make_mesh()
     n_chips = len(jax.devices())
 
+    # Realistic multi-view-consistent frames (tools/synthetic_scene.py
+    # raycaster, KITTI-like geometry): with random-noise frames the Adam
+    # state drifts until the warp leaves the band sampler's displacement
+    # budget mid-measurement and the bench silently times the exact-gather
+    # FALLBACK branch instead of the production path (observed on the 2-D
+    # banded configs). Real-statistics imagery keeps the optimization in
+    # the regime the sampler is designed for — and is the honest input
+    # distribution for a training benchmark anyway.
+    from tools.synthetic_scene import _make_boxes, camera_trajectory, render
+    import tools.synthetic_scene as _sc
+
+    _sc.H, _sc.W = H, W
     k = np.array(
-        [[241.67, 0, W / 2], [0, 246.28, H / 2], [0, 0, 1]], np.float32
+        [[_sc.FX, 0, _sc.CX], [0, _sc.FY, _sc.CY], [0, 0, 1]], np.float32
     )
+    _rng = np.random.RandomState(7)
+    _n_frames = BATCH + N_REFS  # sliding 3-frame snippets over one scene
+    _frames = [
+        render(p, _make_boxes(_rng))[0]
+        for p in camera_trajectory(_n_frames, _rng)
+    ]
+    print(f"[bench] rendered {_n_frames} synthetic-scene frames",
+          file=sys.stderr)
 
     def host_batch(seed: int):
         r = np.random.RandomState(seed)
+        tgt = np.empty((FUSED, BATCH, H, W, 3), np.uint8)
+        refs = np.empty((FUSED, BATCH, N_REFS, H, W, 3), np.uint8)
+        for f in range(FUSED):
+            for b in range(BATCH):
+                c = r.randint(1, _n_frames - 1)
+                tgt[f, b] = _frames[c]
+                refs[f, b, 0] = _frames[c - 1]
+                refs[f, b, 1] = _frames[c + 1]
         return {
-            "tgt": r.randint(0, 256, (FUSED, BATCH, H, W, 3), np.uint8),
-            "refs": r.randint(0, 256, (FUSED, BATCH, N_REFS, H, W, 3), np.uint8),
+            "tgt": tgt,
+            "refs": refs,
             "intrinsics": np.broadcast_to(k, (FUSED, BATCH, 3, 3)).copy(),
         }
 
@@ -230,7 +265,7 @@ def main() -> None:
         tmp_dir = tempfile.mkdtemp(prefix="bench_packed_")
         try:
             t0 = time.perf_counter()
-            _make_packed_dir(tmp_dir)
+            _make_packed_dir(tmp_dir, _frames)
             print(f"[bench] packed synthetic dataset in "
                   f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
             feed = _host_fed_batches(tmp_dir, mesh)

@@ -199,7 +199,7 @@ def inverse_warp(
 
 _SAMPLER_RE = re.compile(
     r"^(gather|mxu|band(?P<band>\d+)?(?P<rows>r\d+)?"
-    r"(?:(?P<xband>x\d+)(?P<cols>c\d+)?)?(?P<nf>nf)?)$"
+    r"(?:(?P<xband>x\d+)(?P<cols>c\d+)?)?(?P<ladder>l\d+)?(?P<nf>nf)?)$"
 )
 
 
@@ -212,10 +212,9 @@ def validate_sampler(sampler: str) -> None:
     m = _SAMPLER_RE.match(sampler) if isinstance(sampler, str) else None
     if not m:
         raise ValueError(
-            f"unknown sampler {sampler!r}: expected 'gather', 'mxu', "
-            "'band', 'band<N>', 'band<N>r<rows>', or "
-            "'band<N>x<xband>[c<cols>]' (e.g. 'band64', 'band64r16', "
-            "'band64x384c256')"
+            f"unknown sampler {sampler!r}: expected 'gather', 'mxu', or "
+            "'band[<N>][r<rows>][x<xband>[c<cols>]][l<ladder>][nf]' "
+            "(e.g. 'band64', 'band64r16', 'band64x384c256', 'band64l128')"
         )
     if m.group("xband") and m.group("cols"):
         xb, cols = int(m.group("xband")[1:]), int(m.group("cols")[1:])
@@ -228,20 +227,23 @@ def validate_sampler(sampler: str) -> None:
 
 
 def _parse_band(sampler: str):
-    """'band[<N>][r<rows>][x<XB>][c<cols>][nf]' ->
-    (band, rows_per_chunk, xband, cols_per_chunk, fallback).
+    """'band[<N>][r<rows>][x<XB>[c<cols>]][l<LB>][nf]' ->
+    (band, rows_per_chunk, xband, cols_per_chunk, fallback, ladder_band).
 
     ``x<XB>`` restricts each tile's x contraction to an XB-column window
-    (2-D banding; ``c<cols>`` sets the output tile width, default XB//2).
-    The 'nf' suffix disables the exact gather fallback (out-of-band warps
-    clamp to the window edge) — a measurement/ablation knob, not a
-    recommended training configuration."""
+    (2-D banding; ``c<cols>`` sets the output tile width, default XB//2
+    parity-matched). ``l<LB>`` inserts a middle fallback rung: a
+    full-width 1-D band of LB rows tried before the exact gather path
+    (ops/warp_band.py ladder). The 'nf' suffix disables the exact
+    fallback entirely (out-of-band warps clamp to the window edge) — a
+    measurement/ablation knob, not a recommended training configuration."""
     m = _SAMPLER_RE.match(sampler)
     band = int(m.group("band")) if m.group("band") else 64
     rows = int(m.group("rows")[1:]) if m.group("rows") else 8
     xband = int(m.group("xband")[1:]) if m.group("xband") else None
     cols = int(m.group("cols")[1:]) if m.group("cols") else None
-    return band, rows, xband, cols, m.group("nf") is None
+    ladder = int(m.group("ladder")[1:]) if m.group("ladder") else None
+    return band, rows, xband, cols, m.group("nf") is None, ladder
 
 
 def project_pixel_coords(
@@ -282,7 +284,7 @@ def band_fallback_flags(
     b = depth.shape[0]
     if not sampler.startswith("band"):
         return jnp.zeros((b,), bool)
-    band, rows, xband, cols, fb = _parse_band(sampler)
+    band, rows, xband, cols, fb, _ladder = _parse_band(sampler)
     if not fb:
         return jnp.zeros((b,), bool)
     from .warp_band import band_fits_per_element
@@ -321,8 +323,9 @@ def inverse_warp2(
           (golden-tested vs torch CPU). Exact, but XLA lowers TPU gathers
           to ~0.1 G values/s (element-at-a-time HBM walks), which makes
           it the train step's dominant cost at the canonical config.
-        * ``"band"`` (optionally ``"band<N>[r<rows>][x<XB>[c<cols>]][nf]"``,
-          e.g. ``"band96"``, ``"band64r16"``, ``"band64x416c208"``) — the
+        * ``"band"`` (optionally
+          ``"band<N>[r<rows>][x<XB>[c<cols>]][l<LB>][nf]"``,
+          e.g. ``"band96"``, ``"band64r16"``, ``"band64x416c208l128"``) — the
           banded one-hot MXU formulation (ops/warp_band.py): scatter- and
           gather-free, bf16-exact image values, fp32-exact sampled depth
           via hi/lo splitting, with an exact whole-call gather fallback
@@ -332,7 +335,10 @@ def inverse_warp2(
           one-hot contracts over an XB-column source window — horizontal
           displacement budget ``(XB - cols) // 2`` columns, same gather
           fallback on violation; ``c<cols>`` sets the tile width, default
-          ~XB/2); ``nf`` drops the exactness fallback (~4.6 ms/step of
+          ~XB/2); ``l<LB>`` inserts a middle fallback rung (a full-width
+          1-D LB-row band tried before gather, so an occasional
+          violation costs ~1.2-2x a band step instead of ~4.5x);
+          ``nf`` drops the exactness fallback (~4.6 ms/step of
           cond overhead; out-of-band warps clamp to the window edge —
           opt-in only).
         * ``"mxu"`` — round-1's unbanded one-hot formulation
@@ -375,7 +381,7 @@ def inverse_warp2(
     if sampler.startswith("band"):
         from .warp_band import split_hi_lo, warp_sample_band_packed
 
-        band, rows, xband, cols, fb = _parse_band(sampler)
+        band, rows, xband, cols, fb, ladder = _parse_band(sampler)
         # ONE packed call: [depth_hi, depth_lo, R, G, B]. Gradient-carrying
         # channels (the hi/lo-split source depth — recombines to fp32
         # accuracy since sampling is linear) go first; the custom backward
@@ -390,7 +396,7 @@ def inverse_warp2(
         sampled = warp_sample_band_packed(
             packed, coords, padding_mode=padding_mode, band=band,
             rows_per_chunk=rows, grad_channels=2, fallback=fb,
-            xband=xband, cols_per_chunk=cols,
+            xband=xband, cols_per_chunk=cols, ladder_band=ladder,
         )
         projected_depth = (
             sampled[..., 0:1] + sampled[..., 1:2]

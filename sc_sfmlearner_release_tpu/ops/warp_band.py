@@ -493,6 +493,14 @@ def _band_sample_bwd(band, xband, grad_channels, img_shape, res, dout):
 _band_sample.defvjp(_band_sample_fwd, _band_sample_bwd)
 
 
+def _default_cols(xband: int) -> int:
+    """~Half the window, parity-matched so the margin is integral."""
+    cols = max(xband // 2, 1)
+    if (xband - cols) % 2:
+        cols = max(cols - 1, 1)
+    return cols
+
+
 def warp_sample_band_packed(
     img: jax.Array,
     coords: jax.Array,
@@ -503,6 +511,7 @@ def warp_sample_band_packed(
     fallback: bool = True,
     xband: int = None,
     cols_per_chunk: int = None,
+    ladder_band: int = None,
 ) -> jax.Array:
     """Production banded bilinear sample of channel-packed sources.
 
@@ -518,8 +527,16 @@ def warp_sample_band_packed(
     an ``xband``-column window instead of the full width — cutting the
     contraction FLOPs and the one-hot bytes by ~W/xband. The horizontal
     displacement budget is ``(xband - cols_per_chunk) // 2`` columns;
-    violations trigger the same whole-call gather fallback.
-    ``cols_per_chunk`` defaults to ``xband // 2``.
+    violations trigger the same whole-call fallback.
+    ``cols_per_chunk`` defaults to ``xband // 2`` (parity-matched).
+
+    ``ladder_band`` (optional) inserts a MIDDLE fallback rung: when the
+    primary band misses, a full-width 1-D band of ``ladder_band`` rows is
+    tried before the exact gather path (one ``lax.switch`` picks the
+    cheapest branch whose displacement budget covers this call). The
+    expected cost of an occasional violation drops from the gather step
+    (~4.5x the band step at the canonical config) to the wide-band step
+    (~1.2-2x), while remaining exact for every input.
     """
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
@@ -530,11 +547,7 @@ def warp_sample_band_packed(
         raise ValueError("band must be a multiple of rows_per_chunk")
     if xband is not None:
         if cols_per_chunk is None:
-            # Default to ~half the window, parity-matched to xband so the
-            # margin (xband - cols) / 2 is integral for any xband.
-            cols_per_chunk = max(xband // 2, 1)
-            if (xband - cols_per_chunk) % 2:
-                cols_per_chunk = max(cols_per_chunk - 1, 1)
+            cols_per_chunk = _default_cols(xband)
         if cols_per_chunk > xband or (xband - cols_per_chunk) % 2:
             raise ValueError(
                 f"xband ({xband}) must be >= cols_per_chunk "
@@ -544,40 +557,52 @@ def warp_sample_band_packed(
         if xband >= w:  # full-width window: identical to the 1-D form
             xband = cols_per_chunk = None
     rows = rows_per_chunk
-    geo, fits_elem = _band_geometry(coords, h, w, padding_mode, band, rows,
-                                    xband, cols_per_chunk)
-    fits = jnp.all(fits_elem)
-    band_eff, margin, nchunk = geo["band"], geo["margin"], geo["nchunk"]
-    xband_eff, xmargin, ncol = geo["xband"], geo["xmargin"], geo["ncol"]
     out_dtype = img.dtype
 
-    def band_branch(img, coords):
-        pad_bot = (nchunk - 1) * rows + band_eff - margin - h
-        pad_right = (ncol - 1) * geo["cols"] + xband_eff - xmargin - w
-        padded = jnp.pad(
-            img.astype(jnp.bfloat16),
-            ((0, 0), (margin, max(pad_bot, 0)),
-             (xmargin, max(pad_right, 0)), (0, 0)),
+    def make_band_branch(band_k, xband_k, cols_k):
+        """Band-sample branch for one (band, xband) rung; returns
+        (branch_fn, fits_elem). The geometry prep is elementwise and runs
+        unconditionally; only the heavy sampling lives in the branch."""
+        geo, fits_elem = _band_geometry(
+            coords, h, w, padding_mode, band_k, rows, xband_k, cols_k
         )
-        idx = {k: geo[k] for k in ("x0c", "rel0c", "rel1c", "rs", "cs")}
-        # Differentiable fp32 tap weights (validity folded in): this is
-        # where coordinate gradients flow; the kernel's custom backward
-        # returns d/d(weights) from its saved bf16 taps.
-        weights = {
-            "w00": (1.0 - geo["wy"]) * geo["by0"]
-                   * (1.0 - geo["wx"]) * geo["ax0"],
-            "w01": (1.0 - geo["wy"]) * geo["by0"] * geo["wx"] * geo["ax1"],
-            "w10": geo["wy"] * geo["by1"] * (1.0 - geo["wx"]) * geo["ax0"],
-            "w11": geo["wy"] * geo["by1"] * geo["wx"] * geo["ax1"],
-        }
-        out = _band_sample(padded, weights, idx, band_eff, xband_eff,
-                           grad_channels, padded.shape)
-        # [ntile, B, P, C] -> [B, H, W, C]
-        out = out.reshape(nchunk, ncol, b, rows, geo["cols"], c)
-        out = out.transpose(2, 0, 3, 1, 4, 5).reshape(
-            b, geo["h_out_pad"], geo["w_out_pad"], c
-        )[:, :h, :w]
-        return out.astype(out_dtype)
+        band_eff, margin, nchunk = geo["band"], geo["margin"], geo["nchunk"]
+        xband_eff, xmargin, ncol = geo["xband"], geo["xmargin"], geo["ncol"]
+
+        def branch(img, coords):
+            pad_bot = (nchunk - 1) * rows + band_eff - margin - h
+            pad_right = (ncol - 1) * geo["cols"] + xband_eff - xmargin - w
+            padded = jnp.pad(
+                img.astype(jnp.bfloat16),
+                ((0, 0), (margin, max(pad_bot, 0)),
+                 (xmargin, max(pad_right, 0)), (0, 0)),
+            )
+            idx = {k: geo[k] for k in ("x0c", "rel0c", "rel1c", "rs", "cs")}
+            # Differentiable fp32 tap weights (validity folded in): this
+            # is where coordinate gradients flow; the kernel's custom
+            # backward returns d/d(weights) from its saved bf16 taps.
+            weights = {
+                "w00": (1.0 - geo["wy"]) * geo["by0"]
+                       * (1.0 - geo["wx"]) * geo["ax0"],
+                "w01": (1.0 - geo["wy"]) * geo["by0"]
+                       * geo["wx"] * geo["ax1"],
+                "w10": geo["wy"] * geo["by1"]
+                       * (1.0 - geo["wx"]) * geo["ax0"],
+                "w11": geo["wy"] * geo["by1"] * geo["wx"] * geo["ax1"],
+            }
+            out = _band_sample(padded, weights, idx, band_eff, xband_eff,
+                               grad_channels, padded.shape)
+            # [ntile, B, P, C] -> [B, H, W, C]
+            out = out.reshape(nchunk, ncol, b, rows, geo["cols"], c)
+            out = out.transpose(2, 0, 3, 1, 4, 5).reshape(
+                b, geo["h_out_pad"], geo["w_out_pad"], c
+            )[:, :h, :w]
+            return out.astype(out_dtype)
+
+        return branch, fits_elem
+
+    band_branch, fits_elem = make_band_branch(band, xband, cols_per_chunk)
+    fits = jnp.all(fits_elem)
 
     def gather_branch(img, coords):
         from .grid_sample import grid_sample
@@ -590,6 +615,15 @@ def warp_sample_band_packed(
         # No exactness guard: out-of-band warps clamp to the window edge.
         # Only for callers that mask such pixels anyway (measurement use).
         return band_branch(img, coords)
+    if ladder_band is not None and ladder_band > band:
+        lb = ladder_band + (-ladder_band) % rows  # round up to rows mult.
+        wide_branch, wide_fits_elem = make_band_branch(lb, None, None)
+        which = jnp.where(
+            fits, 0, jnp.where(jnp.all(wide_fits_elem), 1, 2)
+        )
+        return jax.lax.switch(
+            which, [band_branch, wide_branch, gather_branch], img, coords
+        )
     return jax.lax.cond(fits, band_branch, gather_branch, img, coords)
 
 

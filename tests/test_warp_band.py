@@ -489,3 +489,52 @@ def test_train_step_band_fallback_metric():
     step_g = make_train_step(disp, pose, tx, LossConfig(sampler="gather"))
     _, metrics_g = step_g(state2, batch)
     assert "band_fallback" not in metrics_g
+
+
+def test_fallback_ladder_middle_rung_and_gather():
+    """The l<LB> ladder: in-primary-band calls take the banded path; calls
+    that miss the primary but fit the LB-row full-width band produce the
+    exact wide-band result (== gather); calls beyond LB still reach the
+    exact gather rung. All three rungs must match the gather oracle."""
+    from sc_sfmlearner_release_tpu.ops.warp_band import (
+        warp_sample_band_packed,
+    )
+
+    rng = np.random.RandomState(13)
+    b, h, w, c = 2, 32, 48, 3
+    img = _bf16_img(rng, (b, h, w, c))
+
+    def run(coords):
+        return warp_sample_band_packed(
+            img, coords, band=8, rows_per_chunk=4, grad_channels=1,
+            xband=16, cols_per_chunk=8, ladder_band=16,
+        )
+
+    # rung 0: tiny displacement, fits band8/x16
+    c0 = _near_identity_coords(rng, b, h, w, dy_px=1.0, dx_px=1.0)
+    np.testing.assert_allclose(np.asarray(run(c0)), np.asarray(
+        grid_sample(img, c0)), rtol=1e-6, atol=5e-6)
+
+    # rung 1: ~5 px vertical displacement — misses band8 (budget 2) but
+    # fits the 16-row ladder (budget 6); also test an x-violation (2-D
+    # budget 4 cols) rescued by the full-width ladder rung
+    c1 = _near_identity_coords(rng, b, h, w, dy_px=5.0, dx_px=1.0)
+    np.testing.assert_allclose(np.asarray(run(c1)), np.asarray(
+        grid_sample(img, c1)), rtol=1e-6, atol=5e-6)
+    c1x = _near_identity_coords(rng, b, h, w, dy_px=1.0, dx_px=6.0)
+    np.testing.assert_allclose(np.asarray(run(c1x)), np.asarray(
+        grid_sample(img, c1x)), rtol=1e-6, atol=5e-6)
+
+    # rung 2: scattered coords far beyond the ladder -> exact gather
+    c2 = jnp.asarray((rng.rand(b, h, w, 2).astype(np.float32) * 2 - 1) * 0.9)
+    np.testing.assert_array_equal(np.asarray(run(c2)),
+                                  np.asarray(grid_sample(img, c2)))
+
+    # sampler-string plumbing end to end
+    from sc_sfmlearner_release_tpu.ops.geometry import (
+        _parse_band, validate_sampler,
+    )
+
+    validate_sampler("band64x416c208l128")
+    assert _parse_band("band64x416c208l128") == (64, 8, 416, 208, True, 128)
+    assert _parse_band("band64l96") == (64, 8, None, None, True, 96)

@@ -65,7 +65,11 @@ def build(variant: dict):
     disp = DispNet(num_layers=layers, dtype=jnp.bfloat16,
                    packed_decoder=variant.get("packed_decoder", True))
     pose = PoseNet(num_layers=18, dtype=jnp.bfloat16)
-    tx = make_optimizer(1e-4)
+    # lr=0 keeps the state fixed across the timing chains (same Adam
+    # FLOPs): the random-data drift otherwise grows pose/depth until the
+    # warp leaves a band sampler's budget mid-measurement, silently timing
+    # the FALLBACK branch instead of the sampler under test.
+    tx = make_optimizer(variant.get("lr", 1e-4))
     state = create_train_state(disp, pose, tx, jax.random.PRNGKey(0))
     state = replicate(state, mesh)
 
@@ -191,6 +195,13 @@ CONFIGS = {
     # ncol=2 variants: halve the tile count the 4/8-column tilings pay for
     "band64x624c416": {"sampler": "band64x624c416"},
     "band64x512c416": {"sampler": "band64x512c416"},
+    # lr=0 variants: state cannot drift out of the band budget, so these
+    # time the guarded sampler's FAST path (fallback present, not taken)
+    "full_lr0": {"lr": 0.0},
+    "band64x416c208_lr0": {"sampler": "band64x416c208", "lr": 0.0},
+    "band64x416c208l128_lr0": {"sampler": "band64x416c208l128", "lr": 0.0},
+    "band48x416c208_lr0": {"sampler": "band48x416c208", "lr": 0.0},
+    "band64l128_lr0": {"sampler": "band64l128", "lr": 0.0},
     "b16_gather": {"batch": 16, "sampler": "gather", "fused": 8,
                    "augment": False},
     "b16_convs": {"batch": 16, "convs_only": True, "fused": 8,

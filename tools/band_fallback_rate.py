@@ -210,7 +210,7 @@ def main() -> None:
                 cam = pixel2cam(depth_t, kinv)
                 coords, _ = cam2pixel(cam, proj, "zeros")
                 for c in configs:
-                    band, rows, xband, cols, _ = _parse_band(c)
+                    band, rows, xband, cols, _, _ = _parse_band(c)
                     fits = band_fits_per_element(
                         coords, "zeros", band, rows, xband, cols
                     )

@@ -56,6 +56,10 @@ def main():
     p.add_argument("--no-augment", dest="augment", action="store_false")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--top", type=int, default=30)
+    p.add_argument("--by-path", type=int, default=0, metavar="N",
+                   help="also aggregate cycles by the leading N op_name "
+                        "path components (e.g. 2 separates disp-vs-pose "
+                        "encoder stages)")
     p.add_argument("--out", default=None, help="also write full HLO text")
     p.add_argument("--clock-ghz", type=float, default=0.94)
     args = p.parse_args()
@@ -111,6 +115,22 @@ def main():
     print(f"\ntop {args.top} ops (ms per step):")
     for (bucket, key), cyc in per_op.most_common(args.top):
         print(f"  {cyc * to_ms:8.3f} ms  {bucket:24s} {key}")
+
+    if args.by_path:
+        per_path = collections.Counter()
+        for line in txt.splitlines():
+            m = _CYCLES_RE.search(line)
+            if not m:
+                continue
+            meta = _META_RE.search(line)
+            op_name = meta.group(1) if meta else ""
+            parts = op_name.split("/") if op_name else []
+            key = "/".join(parts[: args.by_path]) or "(no op_name)"
+            per_path[key] += int(m.group(1))
+        print(f"\nby leading {args.by_path} path components (ms per step):")
+        for key, cyc in per_path.most_common(40):
+            print(f"  {cyc * to_ms:8.2f} ms  {100 * cyc / total:5.1f}%  "
+                  f"{key}")
 
 
 if __name__ == "__main__":

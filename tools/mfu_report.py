@@ -84,7 +84,7 @@ def flop_model(sampler: str, b: int, n: int = 2, h: int = 256, w: int = 832):
 
     warp = 0.0
     if sampler.startswith("band"):
-        band, _, xband, _, _ = _parse_band(sampler)
+        band, _, xband, _, _, _ = _parse_band(sampler)
         xw = (xband if xband else w) + 1
         c_all, gc = 5, 2
         # forward pair-contraction over the (row x column) window + the

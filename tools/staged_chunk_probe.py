@@ -39,6 +39,15 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=4)
     p.add_argument("--no-chunk", action="store_true",
                    help="disable chunked staging (reproduce the fault)")
+    p.add_argument("--mode", choices=["restage", "reuse", "sync"],
+                   default="restage",
+                   help="restage: fresh shard_batch per dispatch (async, "
+                        "overlaps staging with execution — the training "
+                        "loop's prefetch pattern); reuse: one staged batch "
+                        "for every dispatch (no staging during execution); "
+                        "sync: fresh staging but a blocking scalar fetch "
+                        "between dispatches (staging never overlaps "
+                        "execution)")
     args = p.parse_args()
 
     import jax
@@ -96,8 +105,11 @@ def main() -> int:
           f"loss={loss:.4f}", flush=True)
     t0 = time.perf_counter()
     for i in range(args.steps):
-        staged = shard_batch(host, mesh, stacked=True)  # fresh staging
+        if args.mode != "reuse":
+            staged = shard_batch(host, mesh, stacked=True)  # fresh staging
         state, metrics = step(state, staged)
+        if args.mode == "sync":
+            float(pick(metrics))
     loss = float(pick(metrics))
     dt = (time.perf_counter() - t0) / args.steps / fused
     print(f"ran {args.steps} dispatches, loss={loss:.4f}, "
