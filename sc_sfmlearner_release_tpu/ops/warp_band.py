@@ -616,13 +616,26 @@ def warp_sample_band_packed(
         # Only for callers that mask such pixels anyway (measurement use).
         return band_branch(img, coords)
     if ladder_band is not None and ladder_band > band:
-        lb = ladder_band + (-ladder_band) % rows  # round up to rows mult.
+        # Ladder: primary -> full-width lb-row band -> COVER band. The
+        # cover rung's window (2 * nchunk * rows, i.e. the margin reaches
+        # the whole padded image from every chunk) contains every in-frame
+        # source row by construction, so it can never miss — it replaces
+        # the gather rung at ~0.6x the cost, and keeps the ladder's value
+        # semantics uniform (band-exact: bf16 source rounding + fp32
+        # weights) instead of jumping to the torch-exact gather for
+        # outlier steps only.
+        nchunk = (h + rows - 1) // rows
+        cover = 2 * nchunk * rows
+        lb = min(ladder_band + (-ladder_band) % rows, cover)
         wide_branch, wide_fits_elem = make_band_branch(lb, None, None)
+        cover_branch, _ = make_band_branch(cover, None, None)
+        if lb >= cover:
+            return jax.lax.cond(fits, band_branch, cover_branch, img, coords)
         which = jnp.where(
             fits, 0, jnp.where(jnp.all(wide_fits_elem), 1, 2)
         )
         return jax.lax.switch(
-            which, [band_branch, wide_branch, gather_branch], img, coords
+            which, [band_branch, wide_branch, cover_branch], img, coords
         )
     return jax.lax.cond(fits, band_branch, gather_branch, img, coords)
 

@@ -216,14 +216,21 @@ def test_fullstep_loss_and_grads_match_reference(cfg):
         # multi-scale + no auto-mask + no ssim exercises the other loss
         # branches (was an fp64 case; fp32 bounds suffice for these).
         (3, False, False, "gather", 5e-4, 2e-3),
-        # band64: the PRODUCTION TPU sampler (ops/warp_band.py). Image
+        # band64: the 1-D banded TPU sampler (ops/warp_band.py). Image
         # values ride bf16 channels (~4e-3 abs on [0,1] images; sampled
         # depth recombines to fp32 via hi/lo splitting), so the envelope
         # vs the torch oracle is the op-level band-vs-gather bound
         # (tests/test_warp_band.py) composed through the loss.
         (1, True, True, "band64", 5e-3, 3e-2),
+        # the PRODUCTION TPU sampler family (train.py --sampler auto =
+        # band64x416c208l192): 2-D column banding + the fallback ladder,
+        # held to the same end-to-end torch assertion. Windows scale to
+        # the 96x64 test shape (x416 would degrade to 1-D at W=96 and
+        # test nothing) — same code path, same budget-to-image ratios.
+        (1, True, True, "band32x48c24l64", 5e-3, 3e-2),
     ],
-    ids=["canonical-gather", "multiscale-gather", "canonical-band64"],
+    ids=["canonical-gather", "multiscale-gather", "canonical-band64",
+         "canonical-band2d-ladder"],
 )
 def test_fullstep_fp32_production_dtype_close(
     scales, ssim, auto_mask, sampler, loss_rtol, grad_rtol

@@ -458,8 +458,7 @@ def test_band_fits_per_element_and_fallback_flags():
 
 def test_train_step_band_fallback_metric():
     """The train step reports band_fallback=0.0 for in-band synthetic data
-    (tiny pose head outputs -> near-identity warps) and omits the metric
-    for the gather sampler."""
+    (tiny pose head outputs -> near-identity warps)."""
     import jax.numpy as jnp
 
     from sc_sfmlearner_release_tpu.models import DispNet, PoseNet
@@ -484,11 +483,8 @@ def test_train_step_band_fallback_metric():
     step = make_train_step(disp, pose, tx, LossConfig(sampler="band64"))
     _, metrics = step(state, batch)
     assert float(metrics["band_fallback"]) == 0.0
-
-    state2 = create_train_state(disp, pose, tx, jax.random.PRNGKey(0))
-    step_g = make_train_step(disp, pose, tx, LossConfig(sampler="gather"))
-    _, metrics_g = step_g(state2, batch)
-    assert "band_fallback" not in metrics_g
+    # (the gather sampler's metric-absence is asserted on the shared
+    # gather step in tests/test_training.py — no extra compile here)
 
 
 def test_fallback_ladder_middle_rung_and_gather():
@@ -525,10 +521,14 @@ def test_fallback_ladder_middle_rung_and_gather():
     np.testing.assert_allclose(np.asarray(run(c1x)), np.asarray(
         grid_sample(img, c1x)), rtol=1e-6, atol=5e-6)
 
-    # rung 2: scattered coords far beyond the ladder -> exact gather
+    # rung 2: scattered coords far beyond the middle rung -> the COVER
+    # band (window spans the whole image from every chunk, can never
+    # miss; band-exact semantics — 1-ulp fp32 association vs gather for
+    # bf16 sources)
     c2 = jnp.asarray((rng.rand(b, h, w, 2).astype(np.float32) * 2 - 1) * 0.9)
-    np.testing.assert_array_equal(np.asarray(run(c2)),
-                                  np.asarray(grid_sample(img, c2)))
+    np.testing.assert_allclose(np.asarray(run(c2)),
+                               np.asarray(grid_sample(img, c2)),
+                               rtol=1e-6, atol=5e-6)
 
     # sampler-string plumbing end to end
     from sc_sfmlearner_release_tpu.ops.geometry import (

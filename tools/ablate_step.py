@@ -202,6 +202,9 @@ CONFIGS = {
     "band64x416c208l128_lr0": {"sampler": "band64x416c208l128", "lr": 0.0},
     "band48x416c208_lr0": {"sampler": "band48x416c208", "lr": 0.0},
     "band64l128_lr0": {"sampler": "band64l128", "lr": 0.0},
+    "band96x416c208_lr0": {"sampler": "band96x416c208", "lr": 0.0},
+    "band96x416c208l192_lr0": {"sampler": "band96x416c208l192", "lr": 0.0},
+    "band192_lr0": {"sampler": "band192", "lr": 0.0},
     "b16_gather": {"batch": 16, "sampler": "gather", "fused": 8,
                    "augment": False},
     "b16_convs": {"batch": 16, "convs_only": True, "fused": 8,

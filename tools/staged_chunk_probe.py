@@ -37,6 +37,11 @@ def main() -> int:
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--fused", type=int, default=12)
     p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="0 freezes the state: isolates whether the crash "
+                        "needs the random-data drift that pushes the warp "
+                        "into the exact-gather fallback branch")
+    p.add_argument("--sampler", default="band64")
     p.add_argument("--no-chunk", action="store_true",
                    help="disable chunked staging (reproduce the fault)")
     p.add_argument("--mode", choices=["restage", "reuse", "sync"],
@@ -85,13 +90,13 @@ def main() -> int:
 
     disp = DispNet(num_layers=18, dtype=jnp.bfloat16)
     pose = PoseNet(num_layers=18, dtype=jnp.bfloat16)
-    tx = make_optimizer(1e-4)
+    tx = make_optimizer(args.lr)
     state = create_train_state(disp, pose, tx, jax.random.PRNGKey(0))
     state = replicate(state, mesh)
     step = make_train_step(
         disp, pose, tx,
         LossConfig(num_scales=1, with_ssim=True, with_mask=True,
-                   with_auto_mask=True, sampler="band64"),
+                   with_auto_mask=True, sampler=args.sampler),
         augment_fn=make_device_augment(AugmentConfig()),
         fused_steps=fused,
     )

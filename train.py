@@ -77,16 +77,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--name", required=True)
     p.add_argument("--padding-mode", choices=["zeros", "border"], default="zeros")
     p.add_argument("--sampler", default="auto",
-                   help="warp sampler. 'band<N>[r<rows>][nf]' = banded one-hot MXU "
-                   "sampler (scatter/gather-free, ~2-4x faster full step "
-                   "on v5e, exact whole-call gather fallback outside the "
-                   "N-row vertical band); 'gather' = torch-exact gathers "
-                   "(the parity/golden-test reference, but TPU HBM "
-                   "gathers dominate its step time); 'mxu' = round-1 "
-                   "unbanded one-hot (tested alternative). Default 'auto' "
-                   "= band64 on TPU, gather on CPU (the band program's "
-                   "scan/remat structure compiles very slowly in XLA:CPU, "
-                   "and CPU gathers are fast)")
+                   help="warp sampler. 'band<N>[r<rows>][x<XB>[c<cols>]]"
+                   "[l<LB>][nf]' = banded one-hot MXU sampler (scatter/"
+                   "gather-free, 2-5x faster full step on v5e; x<XB> adds "
+                   "column banding, l<LB> arms the exact fallback ladder "
+                   "primary -> LB-row band -> cover band for warps "
+                   "outside the displacement budget — see docs/DESIGN.md "
+                   "par.3); 'gather' = torch-exact gathers (the parity/"
+                   "golden-test reference, but TPU HBM gathers dominate "
+                   "its step time); 'mxu' = round-1 unbanded one-hot "
+                   "(tested alternative). Default 'auto' = "
+                   "band64x416c208l192 on TPU, gather on CPU (the band "
+                   "program's scan/remat structure compiles very slowly "
+                   "in XLA:CPU, and CPU gathers are fast)")
     p.add_argument("--device-augment", action="store_true",
                    help="run flip/scale-crop/normalize on the TPU inside "
                    "the jitted train step (host only decodes); keeps the "
@@ -453,7 +456,13 @@ def main(argv=None) -> int:
 
     sampler = args.sampler
     if sampler == "auto":
-        sampler = "gather" if jax.default_backend() == "cpu" else "band64"
+        # band64x416c208l192: 2-D banded primary (98.9 ms/step guarded on
+        # v5e vs 107.5 for 1-D band64) with the fallback ladder armed —
+        # city-speed KITTI motion violates the primary budget on ~40% of
+        # steps, and the ladder caps that cost at the 192-row rung
+        # instead of the 487 ms gather step (docs/DESIGN.md par.3).
+        sampler = ("gather" if jax.default_backend() == "cpu"
+                   else "band64x416c208l192")
         print(f"=> sampler: {sampler} (auto)")
 
     cfg = LossConfig(
