@@ -61,7 +61,7 @@ K_SMALL = 2       # short chain (dispatches)
 MAX_SECONDS = 60  # target device time for the long chain
 
 
-def _make_packed_dir(tmp_dir: str, rendered, n_scenes: int = 2,
+def _make_packed_dir(tmp_dir: str, rendered, intrinsics, n_scenes: int = 2,
                      frames_per: int = 220):
     """Synthetic packed dataset in the production wire format
     (data/packed.py): one uint8 memmap + index.json. Frames are a
@@ -84,7 +84,7 @@ def _make_packed_dir(tmp_dir: str, rendered, n_scenes: int = 2,
         t = i % period
         frames[i] = rendered[t if t < m else period - t]
     frames.flush()
-    k = [[241.67, 0, W / 2], [0, 246.28, H / 2], [0, 0, 1]]
+    k = np.asarray(intrinsics, np.float64).tolist()
     scenes = {
         f"s{j}": {"start": j * frames_per, "count": frames_per,
                   "intrinsics": k}
@@ -161,27 +161,31 @@ def main() -> None:
     mesh = make_mesh()
     n_chips = len(jax.devices())
 
-    # Realistic multi-view-consistent frames (tools/synthetic_scene.py
-    # raycaster, KITTI-like geometry): with random-noise frames the Adam
-    # state drifts until the warp leaves the band sampler's displacement
-    # budget mid-measurement and the bench silently times the exact-gather
-    # FALLBACK branch instead of the production path (observed on the 2-D
-    # banded configs). Real-statistics imagery keeps the optimization in
-    # the regime the sampler is designed for — and is the honest input
-    # distribution for a training benchmark anyway.
-    from tools.synthetic_scene import _make_boxes, camera_trajectory, render
+    # Realistic multi-view-consistent frames: with random-noise frames the
+    # Adam state drifts until the warp leaves the band sampler's
+    # displacement budget mid-measurement and the bench silently times the
+    # FALLBACK rungs instead of the production primary path (observed on
+    # the 2-D banded configs). The scene uses the fallback-rate tool's
+    # calibrated world — TRUE KITTI intrinsics at 832x256 and roadside-
+    # only obstacles — at 0.5 m/frame (~18 km/h), which the measured
+    # fallback table (docs/DESIGN.md par.3) puts comfortably inside the
+    # production sampler's displacement budget: the bench reports the
+    # primary-path step cost (the cross-round comparable number); the
+    # speed-dependent fallback economics are documented separately.
+    from tools.band_fallback_rate import (
+        CX, CY, FX, FY, _make_roadside_boxes, _trajectory,
+    )
+    from tools.synthetic_scene import render
     import tools.synthetic_scene as _sc
 
     _sc.H, _sc.W = H, W
-    k = np.array(
-        [[_sc.FX, 0, _sc.CX], [0, _sc.FY, _sc.CY], [0, 0, 1]], np.float32
-    )
+    _sc.FX, _sc.FY, _sc.CX, _sc.CY = FX, FY, CX, CY
+    k = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], np.float32)
     _rng = np.random.RandomState(7)
     _n_frames = BATCH + N_REFS  # sliding 3-frame snippets over one scene
-    _frames = [
-        render(p, _make_boxes(_rng))[0]
-        for p in camera_trajectory(_n_frames, _rng)
-    ]
+    _poses = _trajectory(_n_frames, 0.5, _rng)
+    _boxes = _make_roadside_boxes(_rng, _poses)
+    _frames = [render(p, _boxes)[0] for p in _poses]
     print(f"[bench] rendered {_n_frames} synthetic-scene frames",
           file=sys.stderr)
 
@@ -219,6 +223,12 @@ def main() -> None:
         shard_batch(host_batch(i), mesh, stacked=True) for i in range(N_STAGED)
     ]
     pick = jax.jit(lambda m: m["loss"].ravel()[-1].astype(jnp.float32))
+    # Self-validation: the band_fallback metric (fraction of the last
+    # dispatch's fused steps that left the primary band) proves the slope
+    # timed the PRIMARY path, not a fallback rung.
+    pick_fb = jax.jit(
+        lambda m: m["band_fallback"].mean()
+    ) if SAMPLER.startswith("band") and not SAMPLER.endswith("nf") else None
 
     def chain(state, n):
         """n chained dispatches + one scalar fetch; returns (state, wall)."""
@@ -229,7 +239,14 @@ def main() -> None:
         loss = float(pick(metrics))
         if not np.isfinite(loss):
             print(f"[bench] WARNING non-finite loss {loss}", file=sys.stderr)
-        return state, time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        if pick_fb is not None:
+            fb = float(pick_fb(metrics))
+            if fb > 0:
+                print(f"[bench] WARNING {fb:.0%} of the last dispatch's "
+                      "steps left the primary band (timing includes "
+                      "fallback rungs)", file=sys.stderr)
+        return state, dt
 
     # Warm: compile + settle (also primes the staged batches onto device).
     state, _ = chain(state, 1)
@@ -265,7 +282,7 @@ def main() -> None:
         tmp_dir = tempfile.mkdtemp(prefix="bench_packed_")
         try:
             t0 = time.perf_counter()
-            _make_packed_dir(tmp_dir, _frames)
+            _make_packed_dir(tmp_dir, _frames, k)
             print(f"[bench] packed synthetic dataset in "
                   f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
             feed = _host_fed_batches(tmp_dir, mesh)

@@ -156,7 +156,6 @@ def _stack_fused(batches, k: int):
     A trailing partial group is dropped (training loaders drop_last anyway).
     """
     group = []
-    checked = False
     for batch in batches:
         batch.pop("_n_valid", None)
         group.append(batch)
@@ -164,35 +163,45 @@ def _stack_fused(batches, k: int):
             stacked = {
                 key: np.stack([g[key] for g in group]) for key in group[0]
             }
-            if not checked:
-                _check_staged_size(stacked, k)
-                checked = True
             yield stacked
             group = []
 
 
-# Empirical envelope for the stacked fused-steps input (bytes across all
-# arrays of one staged batch). Bisected on v5e at 832x256: b16 x fused-16
-# (490 MB staged uint8) and b16 x fused-12 (368 MB) kernel-fault the TPU
-# worker; b16 x fused-8, b8 x fused-16 (245 MB) and b16 x fused-8 + remat
-# all run (docs/DESIGN.md §1). Remat, device-augment and the sampler
-# choice are NOT implicated (each was toggled independently). Root cause
-# is inside the XLA:TPU runtime (a fault, not a RESOURCE_EXHAUSTED OOM),
-# so the framework enforces the largest-VERIFIED envelope instead.
-_STAGED_BYTES_LIMIT = 256 * 1024 * 1024
+# Round 3 bisected a TPU-worker kernel fault against staged fused-input
+# bytes (368+ MB) and fenced staged batches at 256 MB. Round 4 re-ran the
+# fault matrix with the state pinned (tools/staged_chunk_probe.py): the
+# staged bytes were a CONFOUND — every "faulting" config runs when the
+# warp cannot drift into its fallback branch (lr=0 / nf / ladder), a
+# standalone gather step at the same size runs, and the crash reproduces
+# exactly when the band sampler's lax.cond executes its GATHER branch at
+# batch >= 16 at 832x256 (docs/DESIGN.md §1). The staged-size fence is
+# therefore gone (parallel.mesh also stages large stacked arrays as
+# bounded <=128 MB transfers); the guard below targets the real trigger.
+_COND_GATHER_FAULT_PIXELS = 16 * 832 * 256  # smallest verified-faulting size
 
 
-def _check_staged_size(stacked, k: int) -> None:
-    """Reject staged fused-steps batches beyond the verified size envelope
-    (see _STAGED_BYTES_LIMIT) with an actionable error instead of letting
-    the TPU worker kernel-fault mid-training."""
-    total = sum(arr.nbytes for arr in stacked.values())
-    if total > _STAGED_BYTES_LIMIT:
+def _check_cond_gather_fault(sampler: str, batch_size: int, h: int, w: int
+                             ) -> None:
+    """Refuse the verified TPU-worker-crash construct: a band sampler
+    whose ONLY fallback is the gather branch, at the batch/resolution
+    where executing that branch kernel-faults the worker. The l<LB>
+    ladder replaces the gather rung with the always-fits cover band and
+    is crash-free at the same size (probe-verified)."""
+    from sc_sfmlearner_release_tpu.ops.geometry import _parse_band
+
+    if not sampler.startswith("band"):
+        return
+    band, rows, xband, cols, fb, ladder = _parse_band(sampler)
+    if not fb or ladder is not None:
+        return
+    if batch_size * h * w >= _COND_GATHER_FAULT_PIXELS:
         raise SystemExit(
-            f"staged fused-steps batch holds {total / 1e6:.0f} MB; staged "
-            f"batches beyond {_STAGED_BYTES_LIMIT / 1e6:.0f} MB have "
-            "kernel-faulted the TPU worker (docs/DESIGN.md §1). Lower "
-            f"--fused-steps (currently {k}) or --batch-size."
+            f"sampler {sampler!r} at batch {batch_size} ({w}x{h}): the "
+            "band sampler's exact-gather fallback branch kernel-faults "
+            "the TPU worker at this size when a warp leaves the band "
+            "(docs/DESIGN.md §1 fault matrix). Use the fallback ladder "
+            f"instead — e.g. --sampler {sampler}l{max(2 * band, 128)} — "
+            "or lower --batch-size."
         )
 
 
@@ -464,6 +473,12 @@ def main(argv=None) -> int:
         sampler = ("gather" if jax.default_backend() == "cpu"
                    else "band64x416c208l192")
         print(f"=> sampler: {sampler} (auto)")
+
+    sample0 = train_set.load(0, np.random.default_rng(0))
+    _check_cond_gather_fault(
+        sampler, args.batch_size,
+        sample0["tgt"].shape[0], sample0["tgt"].shape[1],
+    )
 
     cfg = LossConfig(
         photo_weight=args.photo_loss_weight,
