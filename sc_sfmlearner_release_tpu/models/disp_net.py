@@ -159,6 +159,8 @@ class DispNet(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     packed_decoder: bool = True
+    packed_stem: bool = False
+    stem_pack: int = 8
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, ...]:
@@ -167,6 +169,8 @@ class DispNet(nn.Module):
             num_input_images=1,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            packed_stem=self.packed_stem,
+            stem_pack=self.stem_pack,
             name="encoder",
         )(x, train)
         return DepthDecoder(

@@ -42,6 +42,8 @@ class PoseNet(nn.Module):
     num_layers: int = 18
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    packed_stem: bool = False
+    stem_pack: int = 8
 
     @nn.compact
     def __call__(
@@ -53,6 +55,8 @@ class PoseNet(nn.Module):
             num_input_images=2,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            packed_stem=self.packed_stem,
+            stem_pack=self.stem_pack,
             name="encoder",
         )(x, train)
         return PoseDecoder(dtype=self.dtype, name="decoder")(features[-1])

@@ -197,12 +197,18 @@ class ResNetEncoder(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     packed: bool = True
-    # Lane-packed space-to-depth stem: exact and tested, but MEASURED
-    # SLOWER on v5e than XLA's plain conv1 path (full step 120 -> 140
-    # ms/step; the x8-FLOP dense expansion of a 7x7 kernel outweighs the
-    # lane-utilization win, worst for the 6-channel pose stem). Kept as a
+    # Space-to-depth stem: the 7x7/2 conv1 becomes a 4x4/1 conv on the
+    # s2d-2 grid with 4x the input channels. ``stem_pack`` additionally
+    # lane-packs P s2d cells into channels. Exact same math/params either
+    # way (tested), but MEASURED SLOWER on v5e both times it was tried:
+    # P=8 (round 3: x8-FLOP dense expansion; full step 120 -> 140 ms) and
+    # P=1 (round 4: pure s2d, x1.3 FLOPs for x4 input lanes — pose-only
+    # 15.5 -> 19.8, disp-only 34.5 -> 38.5, full step 96.9 -> 105.3
+    # ms/step; the s2d reshape/layout traffic outweighs conv1's lane
+    # waste, which XLA's native path evidently handles well). Kept as a
     # documented negative result; enable to re-measure on new hardware.
     packed_stem: bool = False
+    stem_pack: int = 8
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
@@ -219,26 +225,35 @@ class ResNetEncoder(nn.Module):
         # at a few percent lane utilization unpacked. space-to-depth-2 +
         # 8-pixel W-packing makes conv1 a dense [4,3,P*4C,P*64] conv with
         # full lanes; BN/relu/maxpool stay packed. Exact same math/params.
+        p0 = self.stem_pack
         stem_packed = (
             self.packed
             and self.packed_stem
             and h % 4 == 0
-            and w % 16 == 0
-            and w // 16 >= 2
+            and w % (2 * max(p0, 2)) == 0
+            and w // (2 * p0) >= 2
         )
         if stem_packed:
             from .packed_conv import (
                 max_pool3x3s2_packed, space_to_depth2,
             )
 
-            x2p = pack_w(space_to_depth2(x), 8)
-            xs = _StemConv(64, c_in, 8, self.dtype, name="conv1")(x2p)
-            xs = _StemNorm(64, 8, self.axis_name, self.dtype, name="bn1")(
+            x2p = pack_w(space_to_depth2(x), p0)
+            xs = _StemConv(64, c_in, p0, self.dtype, name="conv1")(x2p)
+            xs = _StemNorm(64, p0, self.axis_name, self.dtype, name="bn1")(
                 xs, train
             )
             feat0_p = nn.relu(xs)
-            feat0 = unpack_w(feat0_p, 8, 64)
-            x, p_cur = max_pool3x3s2_packed(feat0_p, 8, 64)
+            feat0 = unpack_w(feat0_p, p0, 64)
+            if p0 >= 2:
+                x, p_cur = max_pool3x3s2_packed(feat0_p, p0, 64)
+            else:
+                x = jnp.pad(
+                    feat0, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf,
+                )
+                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+                p_cur = 1
         else:
             x = nn.Conv(
                 64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
@@ -318,9 +333,12 @@ class _StemConv(nn.Module):
         dense, pad_groups = expand_stem_kernel(
             kernel.astype(self.dtype), self.pack
         )
+        # group-tap range is asymmetric in general (e.g. pack=1: taps at
+        # offsets -2..1): left pad = -d_min (pad_groups), right = d_max
+        pad_right = dense.shape[1] - 1 - pad_groups
         x = jnp.pad(
             x2p.astype(self.dtype),
-            ((0, 0), (2, 1), (pad_groups, pad_groups), (0, 0)),
+            ((0, 0), (2, 1), (pad_groups, pad_right), (0, 0)),
         )
         return jax.lax.conv_general_dilated(
             x, dense, window_strides=(1, 1), padding="VALID",

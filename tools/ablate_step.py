@@ -62,9 +62,12 @@ def build(variant: dict):
         host["refs"] = host["refs"].astype(np.float32) / 255.0
 
     layers = variant.get("layers", 18)
+    stem = {"packed_stem": True, "stem_pack": variant["stem_pack"]} \
+        if "stem_pack" in variant else {}
     disp = DispNet(num_layers=layers, dtype=jnp.bfloat16,
-                   packed_decoder=variant.get("packed_decoder", True))
-    pose = PoseNet(num_layers=18, dtype=jnp.bfloat16)
+                   packed_decoder=variant.get("packed_decoder", True),
+                   **stem)
+    pose = PoseNet(num_layers=18, dtype=jnp.bfloat16, **stem)
     # lr=0 keeps the state fixed across the timing chains (same Adam
     # FLOPs): the random-data drift otherwise grows pose/depth until the
     # warp leaves a band sampler's budget mid-measurement, silently timing
@@ -205,6 +208,11 @@ CONFIGS = {
     "band96x416c208_lr0": {"sampler": "band96x416c208", "lr": 0.0},
     "band96x416c208l192_lr0": {"sampler": "band96x416c208l192", "lr": 0.0},
     "band192_lr0": {"sampler": "band192", "lr": 0.0},
+    # space-to-depth stem (pack=1: pure s2d, no lane packing) on both nets
+    "s2d_stem_lr0": {"sampler": "band64x416c208l192", "lr": 0.0,
+                     "stem_pack": 1},
+    "disp_only_s2d": {"convs_only": True, "nets": "disp", "stem_pack": 1},
+    "pose_only_s2d": {"convs_only": True, "nets": "pose", "stem_pack": 1},
     "b16_gather": {"batch": 16, "sampler": "gather", "fused": 8,
                    "augment": False},
     "b16_convs": {"batch": 16, "convs_only": True, "fused": 8,

@@ -57,9 +57,13 @@ def main():
     p.add_argument("--remat", action="store_true")
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--by-path", type=int, default=0, metavar="N",
-                   help="also aggregate cycles by the leading N op_name "
-                        "path components (e.g. 2 separates disp-vs-pose "
+                   help="also aggregate cycles by N op_name path "
+                        "components (e.g. 2 separates disp-vs-pose "
                         "encoder stages)")
+    p.add_argument("--path-skip", type=int, default=0, metavar="S",
+                   help="skip the first S path components before "
+                        "grouping (drop the common jit(...)/while/body "
+                        "prefix)")
     p.add_argument("--out", default=None, help="also write full HLO text")
     p.add_argument("--clock-ghz", type=float, default=0.94)
     args = p.parse_args()
@@ -125,6 +129,7 @@ def main():
             meta = _META_RE.search(line)
             op_name = meta.group(1) if meta else ""
             parts = op_name.split("/") if op_name else []
+            parts = parts[args.path_skip:]
             key = "/".join(parts[: args.by_path]) or "(no op_name)"
             per_path[key] += int(m.group(1))
         print(f"\nby leading {args.by_path} path components (ms per step):")
