@@ -402,6 +402,11 @@ def _band_sample_fwd(img, weights, idx, band, xband, grad_channels,
         # real accumulation happens.
         t = jnp.einsum("bpw,brwk->bprk", onehot, pair,
                        preferred_element_type=jnp.bfloat16)
+        # Two separate y-selects: XLA multi-output-fuses them into one
+        # streaming pass over ``t`` already — the "obvious" single
+        # stacked [B,P,2,band] einsum was MEASURED 1.5x SLOWER for the
+        # whole step (98.9 -> 144.3 ms: it lowers to a badly-tiled
+        # batched matmul instead of two fused reductions).
         o0 = (rio == r0i[..., None, None]).astype(jnp.bfloat16)  # [B,P,1,bd]
         o1 = (rio == r1i[..., None, None]).astype(jnp.bfloat16)
         ty0 = jnp.einsum("bpor,bprk->bpk", o0, t,
