@@ -94,10 +94,13 @@ def main(argv=None) -> int:
     state = create_train_state(
         disp_model, pose_model, tx, jax.random.PRNGKey(0)
     )
+    # The production sampler family (train.py --sampler auto), windows
+    # scaled to this scene's 256x128 shape: proves the 2-D banded + ladder
+    # warp LEARNS end to end, not just runs.
     step = make_train_step(
         disp_model, pose_model, tx,
         LossConfig(with_ssim=True, with_mask=True, with_auto_mask=False,
-                   padding_mode="border"),
+                   padding_mode="border", sampler="band32x128c64l96"),
     )
 
     first_loss = None
