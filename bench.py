@@ -55,7 +55,7 @@ import numpy as np
 BASELINE_SNIPPETS_PER_SEC_EST = 5.0
 BATCH, N_REFS, H, W = 4, 2, 256, 832
 FUSED = 16
-SAMPLER = "band64x416c208l192"  # the production warp sampler (train.py auto)
+SAMPLER = "band64x368c208l192"  # the production warp sampler (train.py auto)
 N_STAGED = 3      # distinct pre-staged stacked batches, cycled
 K_SMALL = 2       # short chain (dispatches)
 MAX_SECONDS = 60  # target device time for the long chain

@@ -209,6 +209,9 @@ CONFIGS = {
     "band96x416c208l192_lr0": {"sampler": "band96x416c208l192", "lr": 0.0},
     "band192_lr0": {"sampler": "band192", "lr": 0.0},
     "band64x368c208_lr0": {"sampler": "band64x368c208", "lr": 0.0},
+    "band64x312c208_lr0": {"sampler": "band64x312c208", "lr": 0.0},
+    "band64x368c208l192_lr0": {"sampler": "band64x368c208l192", "lr": 0.0},
+    "band64x312c208l192_lr0": {"sampler": "band64x312c208l192", "lr": 0.0},
     # space-to-depth stem (pack=1: pure s2d, no lane packing) on both nets
     "s2d_stem_lr0": {"sampler": "band64x416c208l192", "lr": 0.0,
                      "stem_pack": 1},

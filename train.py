@@ -87,7 +87,7 @@ def build_parser() -> argparse.ArgumentParser:
                    "golden-test reference, but TPU HBM gathers dominate "
                    "its step time); 'mxu' = round-1 unbanded one-hot "
                    "(tested alternative). Default 'auto' = "
-                   "band64x416c208l192 on TPU, gather on CPU (the band "
+                   "band64x368c208l192 on TPU, gather on CPU (the band "
                    "program's scan/remat structure compiles very slowly "
                    "in XLA:CPU, and CPU gathers are fast)")
     p.add_argument("--device-augment", action="store_true",
@@ -465,13 +465,14 @@ def main(argv=None) -> int:
 
     sampler = args.sampler
     if sampler == "auto":
-        # band64x416c208l192: 2-D banded primary (98.9 ms/step guarded on
-        # v5e vs 107.5 for 1-D band64) with the fallback ladder armed —
-        # city-speed KITTI motion violates the primary budget on ~40% of
-        # steps, and the ladder caps that cost at the 192-row rung
-        # instead of the 487 ms gather step (docs/DESIGN.md par.3).
+        # band64x368c208l192: 2-D banded primary (90.2 ms/step with the
+        # ladder armed on v5e vs 107.5 for 1-D band64) — the 368-column
+        # x-window's 80-px budget adds ZERO violations over full-width up
+        # to 1.2 m/frame on the measured motion tables, and the fallback
+        # ladder caps budget violations at the 192-row rung instead of
+        # the 487 ms gather step (docs/DESIGN.md par.3).
         sampler = ("gather" if jax.default_backend() == "cpu"
-                   else "band64x416c208l192")
+                   else "band64x368c208l192")
         print(f"=> sampler: {sampler} (auto)")
 
     sample0 = train_set.load(0, np.random.default_rng(0))
