@@ -188,6 +188,8 @@ CONFIGS = {
     "b8": {"batch": 8},
     "b16_f12": {"batch": 16, "fused": 12},
     "r50": {"layers": 50},
+    "r50_prod_lr0": {"layers": 50, "sampler": "band64x368c208l192",
+                     "lr": 0.0},
     "band64nf": {"sampler": "band64nf"},
     # 2-D banding: x<window>c<tile-cols>; margins 104/64/64 px.
     "band64x416c208": {"sampler": "band64x416c208"},
