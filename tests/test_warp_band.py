@@ -538,3 +538,41 @@ def test_fallback_ladder_middle_rung_and_gather():
     validate_sampler("band64x416c208l128")
     assert _parse_band("band64x416c208l128") == (64, 8, 416, 208, True, 128)
     assert _parse_band("band64l96") == (64, 8, None, None, True, 96)
+
+
+def test_fallback_ladder_gradients_match_gather():
+    """Value + coordinate gradients THROUGH each ladder rung match the
+    gather formulation — the middle rung is the production path whenever
+    real-data motion exceeds the primary budget, so its backward pass
+    (custom VJP inside a lax.switch branch) needs the same guarantee as
+    the primary's."""
+    from sc_sfmlearner_release_tpu.ops.warp_band import (
+        warp_sample_band_packed,
+    )
+
+    rng = np.random.RandomState(17)
+    b, h, w, c = 1, 24, 32, 2
+    img = _bf16_img(rng, (b, h, w, c))
+
+    def loss_band(i, co):
+        out = warp_sample_band_packed(
+            i, co, band=8, rows_per_chunk=4, grad_channels=c,
+            xband=16, cols_per_chunk=8, ladder_band=16,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(i, co):
+        return jnp.sum(grid_sample(i, co) ** 2)
+
+    for dy in (1.0, 5.0):  # primary rung / middle rung
+        coords = _near_identity_coords(rng, b, h, w, dy_px=dy, dx_px=1.0)
+        g_band = jax.grad(loss_band, argnums=(0, 1))(img, coords)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(img, coords)
+        np.testing.assert_allclose(
+            np.asarray(g_band[0]), np.asarray(g_ref[0]),
+            rtol=1e-2, atol=1e-2,  # value grads: one bf16 cotangent round
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_band[1]), np.asarray(g_ref[1]),
+            rtol=1e-3, atol=1e-3,  # coordinate grads: fp32 weight path
+        )
