@@ -386,3 +386,23 @@ def test_chunked_staging_matches_direct():
             np.asarray(chunked[k]), np.asarray(direct[k])
         )
         assert chunked[k].sharding == direct[k].sharding, k
+
+
+def test_cond_gather_fault_guard():
+    """train.py refuses the verified TPU-worker-crash construct (a plain
+    band sampler whose only fallback is the gather branch, at
+    batch*pixels >= the faulting size) and recommends the ladder; ladder /
+    nf / gather / small-batch configs pass (docs/DESIGN.md par.1)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from train import _check_cond_gather_fault
+
+    # ok: ladder, nf, non-band, below the size envelope
+    _check_cond_gather_fault("band64x368c208l192", 16, 256, 832)
+    _check_cond_gather_fault("band64nf", 64, 256, 832)
+    _check_cond_gather_fault("gather", 64, 256, 832)
+    _check_cond_gather_fault("band64", 4, 256, 832)
+    # refused: the probe-verified crash construct
+    with pytest.raises(SystemExit, match="ladder"):
+        _check_cond_gather_fault("band64", 16, 256, 832)
