@@ -103,8 +103,14 @@ def test_packed_decoder_matches_plain_and_tree():
 import pytest
 
 
-@pytest.mark.parametrize("packed_stem", [False, True])
-def test_packed_encoder_matches_plain(packed_stem):
+@pytest.mark.parametrize("packed_stem,stem_pack", [
+    (False, 8),
+    # the s2d stems are kept measured-slower ALTERNATIVES (off by
+    # default) — their exactness checks live in the slow suite
+    pytest.param(True, 8, marks=pytest.mark.slow),   # r3 lane-packed s2d
+    pytest.param(True, 1, marks=pytest.mark.slow),   # r4 pure s2d
+])
+def test_packed_encoder_matches_plain(packed_stem, stem_pack):
     """layer1 lane packing (resnet.PackedBasicBlock) — and the optional
     space-to-depth stem (a kept, measured-slower alternative) — same
     params, same outputs (train AND eval), same updated batch stats."""
@@ -112,7 +118,8 @@ def test_packed_encoder_matches_plain(packed_stem):
 
     r = np.random.RandomState(4)
     x = jnp.asarray(r.rand(2, 64, 64, 3).astype(np.float32))
-    m_p = ResNetEncoder(num_layers=18, packed=True, packed_stem=packed_stem)
+    m_p = ResNetEncoder(num_layers=18, packed=True, packed_stem=packed_stem,
+                        stem_pack=stem_pack)
     m_u = ResNetEncoder(num_layers=18, packed=False)
     v = m_p.init(jax.random.PRNGKey(0), x, train=False)
     v_u = m_u.init(jax.random.PRNGKey(0), x, train=False)
