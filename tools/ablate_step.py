@@ -213,6 +213,10 @@ CONFIGS = {
     "band64x368c208_lr0": {"sampler": "band64x368c208", "lr": 0.0},
     "band64x312c208_lr0": {"sampler": "band64x312c208", "lr": 0.0},
     "band64x368c208l192_lr0": {"sampler": "band64x368c208l192", "lr": 0.0},
+    # same 80-px x budget / 28-row y budget as x368c208 (identical
+    # fallback rates by construction), smaller contraction K=265, 2x tiles
+    "band64x264c104l192_lr0": {"sampler": "band64x264c104l192", "lr": 0.0},
+    "band64x288c128l192_lr0": {"sampler": "band64x288c128l192", "lr": 0.0},
     "band64x312c208l192_lr0": {"sampler": "band64x312c208l192", "lr": 0.0},
     # space-to-depth stem (pack=1: pure s2d, no lane packing) on both nets
     "s2d_stem_lr0": {"sampler": "band64x416c208l192", "lr": 0.0,
