@@ -44,7 +44,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
