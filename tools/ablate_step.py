@@ -217,6 +217,12 @@ CONFIGS = {
     # fallback rates by construction), smaller contraction K=265, 2x tiles
     "band64x264c104l192_lr0": {"sampler": "band64x264c104l192", "lr": 0.0},
     "band64x288c128l192_lr0": {"sampler": "band64x288c128l192", "lr": 0.0},
+    # round-5 handoff: size the non-warp tail at the production sampler
+    "prod_plain_l1_lr0": {"sampler": "band64x368c208l192", "lr": 0.0,
+                          "ssim": False, "mask": False, "auto_mask": False},
+    "prod_noaug_lr0": {"sampler": "band64x368c208l192", "lr": 0.0,
+                       "augment": False},
+    "convs_only_lr0": {"convs_only": True, "lr": 0.0},
     "band64x312c208l192_lr0": {"sampler": "band64x312c208l192", "lr": 0.0},
     # space-to-depth stem (pack=1: pure s2d, no lane packing) on both nets
     "s2d_stem_lr0": {"sampler": "band64x416c208l192", "lr": 0.0,
