@@ -224,6 +224,20 @@ def validate_sampler(sampler: str) -> None:
                 f"even margin (xband - cols = {xb - cols} is "
                 f"{'odd' if (xb - cols) % 2 else 'negative'})"
             )
+    if m.group("ladder"):
+        band = int(m.group("band")) if m.group("band") else 64
+        ladder = int(m.group("ladder")[1:])
+        if ladder <= band:
+            # warp_sample_band_packed only arms the ladder when
+            # ladder_band > band; accepting e.g. 'band64l48' would
+            # silently compile the plain band-or-gather cond instead
+            # (including the verified cond-gather TPU fault construct
+            # the l<LB> suffix exists to avoid — train.py guard).
+            raise ValueError(
+                f"sampler {sampler!r}: ladder rung l{ladder} must be "
+                f"wider than the primary band ({band}) to arm the "
+                f"fallback ladder"
+            )
 
 
 def _parse_band(sampler: str):

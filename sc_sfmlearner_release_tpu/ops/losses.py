@@ -158,10 +158,12 @@ def photo_and_geometry_loss(
         batch) are excluded from every masked mean exactly as if the batch
         had been smaller.
       return_band_stats: also return ``band_oob`` ``[2N*B]`` bool — per
-        directed pair, whether the scale-0 warp leaves a band sampler's
-        window (any True means that warp call paid the exact-gather
-        fallback). All-False for non-band/nf samplers. ~Free next to the
-        real warp (identical projection subgraph, CSE'd by XLA).
+        directed pair, whether the scale-0 warp leaves the band sampler's
+        PRIMARY window (any True means that warp call paid a fallback
+        rung: the l<LB> ladder's wide/cover band, or the exact gather
+        path for plain band samplers). All-False for non-band/nf
+        samplers. ~Free next to the real warp (identical projection
+        subgraph, CSE'd by XLA).
 
     Returns:
       (photo_loss, geometry_loss) scalars, summed over pairs and scales;

@@ -664,9 +664,7 @@ def band_fits_per_element(
     b, h, w, _ = coords.shape
     if xband is not None:
         if cols_per_chunk is None:
-            cols_per_chunk = max(xband // 2, 1)
-            if (xband - cols_per_chunk) % 2:
-                cols_per_chunk = max(cols_per_chunk - 1, 1)
+            cols_per_chunk = _default_cols(xband)
         if xband >= w:
             xband = cols_per_chunk = None
     _, fits_elem = _band_geometry(

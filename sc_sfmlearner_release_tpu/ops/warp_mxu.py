@@ -5,14 +5,18 @@ semantics (torch ``grid_sample(align_corners=False)``, zeros/border padding
 — /root/reference/inverse_warp.py:262,267) but built for how the TPU
 actually executes.
 
-Status: **tested alternative, NOT the default.** The hypothesis was that
-XLA's gather/scatter lowering would dominate the step; the controlled A/B on
-TPU v5e at [4, 256, 832] (full train step, bf16) measured the opposite —
-gather: 2.45 ms/step vs this formulation: 1087 ms/step. XLA lowers the
-warp's gathers well at these shapes, while the one-hot contractions spend
-~W x the FLOPs per tap and the row-chunk scan serializes. Kept (with full
-value/grad tests vs the gather path) as the scatter-free formulation should
-a future TPU generation or shape regime invert the trade-off.
+Status: **tested alternative, NOT the default.** This round-1 UNBANDED
+formulation contracts every output pixel's one-hot over the full source
+height, i.e. ~H/band (≈4x at 256p with the production band=64) the banded
+sampler's contraction FLOPs — it is strictly dominated by
+``ops/warp_band.py`` and was never competitive once honest slope timing
+landed. (Round 1's A/B printed "gather 2.45 ms/step": that number was an
+enqueue-rate artifact of ``block_until_ready`` being a no-op over the
+tunneled TPU and was discredited in round 2 — the slope-timed full-step
+numbers at the canonical config are gather 487 ms/step vs the production
+banded ladder 90.2, docs/DESIGN.md §1.) Kept (with full value/grad tests
+vs the gather path) as the simplest scatter-free formulation and the
+ancestor of the banded production sampler.
 
 The formulation — dense contractions instead of gather/scatter:
 

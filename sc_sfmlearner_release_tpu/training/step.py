@@ -197,8 +197,9 @@ def _total_loss(
         "geometry_loss": geom,
     }
     if band_oob is not None:
-        # 1.0 when this step's scale-0 warp paid the exact-gather fallback
-        # (ANY directed pair left the band window).
+        # 1.0 when this step's scale-0 warp left the PRIMARY band window
+        # (ANY directed pair violated it) and so paid a fallback rung —
+        # the ladder's wide/cover band, or gather for plain band samplers.
         metrics["band_fallback"] = jnp.any(
             jax.lax.stop_gradient(band_oob)
         ).astype(jnp.float32)

@@ -180,6 +180,30 @@ def _stack_fused(batches, k: int):
 _COND_GATHER_FAULT_PIXELS = 16 * 832 * 256  # smallest verified-faulting size
 
 
+def _widened_sampler(sampler: str) -> str:
+    """Suggest the same sampler family with a wider primary band (x/c/l
+    suffixes preserved — the production 2-D+ladder config must not be
+    collapsed to a bare 1-D band by a widening hint)."""
+    from sc_sfmlearner_release_tpu.ops.geometry import _parse_band
+
+    if not sampler.startswith("band"):
+        return "band96r8"
+    band, rows, xband, cols, fb, ladder = _parse_band(sampler)
+    new_band = band + band // 2 + (-(band + band // 2)) % rows
+    s = f"band{new_band}"
+    if rows != 8:
+        s += f"r{rows}"
+    if xband is not None:
+        s += f"x{xband}"
+        if cols is not None:
+            s += f"c{cols}"
+    if ladder is not None:
+        s += f"l{max(ladder, 2 * new_band)}"
+    if not fb:
+        s += "nf"
+    return s
+
+
 def _check_cond_gather_fault(sampler: str, batch_size: int, h: int, w: int
                              ) -> None:
     """Refuse the verified TPU-worker-crash construct: a band sampler
@@ -187,12 +211,15 @@ def _check_cond_gather_fault(sampler: str, batch_size: int, h: int, w: int
     where executing that branch kernel-faults the worker. The l<LB>
     ladder replaces the gather rung with the always-fits cover band and
     is crash-free at the same size (probe-verified)."""
-    from sc_sfmlearner_release_tpu.ops.geometry import _parse_band
+    from sc_sfmlearner_release_tpu.ops.geometry import (
+        _parse_band, validate_sampler,
+    )
 
     if not sampler.startswith("band"):
         return
+    validate_sampler(sampler)  # rejects un-armed ladders (l<LB> <= band)
     band, rows, xband, cols, fb, ladder = _parse_band(sampler)
-    if not fb or ladder is not None:
+    if not fb or (ladder is not None and ladder > band):
         return
     if batch_size * h * w >= _COND_GATHER_FAULT_PIXELS:
         raise SystemExit(
@@ -475,11 +502,12 @@ def main(argv=None) -> int:
                    else "band64x368c208l192")
         print(f"=> sampler: {sampler} (auto)")
 
-    sample0 = train_set.load(0, np.random.default_rng(0))
-    _check_cond_gather_fault(
-        sampler, args.batch_size,
-        sample0["tgt"].shape[0], sample0["tgt"].shape[1],
-    )
+    if len(train_set):
+        sample0 = train_set.load(0, np.random.default_rng(0))
+        _check_cond_gather_fault(
+            sampler, args.batch_size,
+            sample0["tgt"].shape[0], sample0["tgt"].shape[1],
+        )
 
     cfg = LossConfig(
         photo_weight=args.photo_loss_weight,
@@ -619,9 +647,11 @@ def main(argv=None) -> int:
             float(np.mean([r[0] for r in full_rows])) if full_rows else 0.0
         )
         logger.write(f" * Avg Loss : {train_loss:.3f}")
-        # Band-sampler fallback rate: each fallback step pays the exact
-        # gather path (~4.5x slower at the canonical config) — surface it
-        # so a throughput regression on real data is attributable.
+        # Band-sampler fallback rate: each flagged step left the PRIMARY
+        # band window and paid a fallback rung (the l<LB> ladder's wide /
+        # cover band, ~1.2-2x a primary step; or the exact gather path,
+        # ~4.5x, for plain band samplers) — surface it so a throughput
+        # regression on real data is attributable.
         fb = [
             float(np.mean(np.asarray(m["band_fallback"], np.float64)))
             for m in pending if "band_fallback" in m
@@ -629,8 +659,9 @@ def main(argv=None) -> int:
         if fb and float(np.mean(fb)) > 0:
             logger.write(
                 f" * Band-sampler fallback rate: {float(np.mean(fb)):.1%} "
-                "of steps took the exact-gather path (widen the band — "
-                "e.g. --sampler band96r8 — if this costs throughput)"
+                "of steps left the primary band window and paid a "
+                "fallback rung (if this costs throughput, widen the "
+                f"primary — e.g. --sampler {_widened_sampler(sampler)})"
             )
 
         if is_main:
