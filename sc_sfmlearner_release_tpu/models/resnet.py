@@ -248,11 +248,7 @@ class ResNetEncoder(nn.Module):
             if p0 >= 2:
                 x, p_cur = max_pool3x3s2_packed(feat0_p, p0, 64)
             else:
-                x = jnp.pad(
-                    feat0, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=-jnp.inf,
-                )
-                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+                x = _max_pool3x3s2(feat0)
                 p_cur = 1
         else:
             x = nn.Conv(
@@ -268,11 +264,7 @@ class ResNetEncoder(nn.Module):
             # concats cost more than reduce_window's half-empty lanes.
             # The packed maxpool remains in use where it is structurally
             # required (the optional packed stem).
-            x = jnp.pad(
-                feat0, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                constant_values=-jnp.inf,
-            )
-            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+            x = _max_pool3x3s2(feat0)
             p_cur = 1
 
         features = [feat0]
@@ -312,6 +304,22 @@ class ResNetEncoder(nn.Module):
             features.append(x)
 
         return features
+
+
+def _max_pool3x3s2(x: jax.Array) -> jax.Array:
+    """torch MaxPool2d(3, stride 2, pad 1) via reduce_window's built-in
+    padding (init value = -inf, so the pad IS -inf padding). An explicit
+    jnp.pad(-inf) + VALID pool is the same math but materializes the
+    padded stem tensor (~330 MB bf16 at the canonical config) and pays a
+    pad-transpose in the backward pass — both visible in the compiled
+    HLO's top ops."""
+    # nn.max_pool routes to reduce_window_max (which has the proper
+    # reverse-mode rule for bf16; calling lax.reduce_window with a generic
+    # lax.max computation misses that specialization and fails to
+    # differentiate).
+    return nn.max_pool(
+        x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+    )
 
 
 class _StemConv(nn.Module):

@@ -506,6 +506,305 @@ def _default_cols(xband: int) -> int:
     return cols
 
 
+# ---------------------------------------------------------------------------
+# Canonical-taps formulation: the round-5 production path.
+#
+# Round 4's ladder wrapped the ENTIRE per-rung computation (geometry prep,
+# weights, the custom-VJP sampling kernel) in each `lax.switch` branch. Under
+# autodiff, a cond/switch's saved residuals are the UNION of every branch's
+# residuals, so each step wrote ~800 MB of rung-shaped weight/index/tap
+# buffers (plus two 136 MB layout copies at the branch boundary) even when
+# the primary rung was taken — the compiled HLO showed the branch-boundary
+# copies and zero-broadcast residual tuples as top-10 ops.
+#
+# The fix is a layout contract: every rung produces the SAME output — the
+# four raw bilinear taps per pixel in canonical [B, H, W, 4C] layout
+# (bf16-exact; channels [ty0_left | ty0_right | ty1_left | ty1_right]) —
+# and the fp32 weight combine happens OUTSIDE the switch as ordinary
+# differentiable math. One custom VJP spans the whole switch:
+#   * forward: switch over rungs, each tiling the canonical integer index
+#     arrays (x0, y0 — the only per-rung prep left) and running the one-hot
+#     MXU contractions; residuals are just (x0, y0, which).
+#   * backward: switch over rungs again, rebuilding the binary one-hots and
+#     running one transposed matmul per tile over the ``grad_channels``
+#     leading channels.
+# Residual/branch traffic is shape-uniform (no union, no copies), weight
+# gradients fall out of the outer combine's autodiff (which saves the
+# canonical taps once — they were saved before anyway, in rung layout),
+# and the band-fit predicates reduce to per-tile masked min/max of y0/x0
+# (`_fits_elems`) instead of re-deriving every rung's full index grid.
+# ---------------------------------------------------------------------------
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _rung_dims(h: int, w: int, rows: int, band: int, xband, cols):
+    """Static tile geometry for one rung (shared by fwd/bwd/fits)."""
+    nchunk = _ceil_div(h, rows)
+    band = min(band, 2 * nchunk * rows)
+    margin = (band - rows) // 2
+    if xband is None:
+        xband, cols = w, w
+    ncol = _ceil_div(w, cols)
+    xband = min(xband, 2 * ncol * cols)
+    xmargin = (xband - cols) // 2
+    return nchunk, band, margin, ncol, xband, xmargin, cols
+
+
+def _tile(a: jax.Array, rows: int, cols: int, fill=0) -> jax.Array:
+    """[B, H, W] or [B, H, W, K] -> tile-major [ntile, B, rows*cols(*K)]."""
+    chan = a.ndim == 4
+    b, h, w = a.shape[:3]
+    k = a.shape[3] if chan else 1
+    nchunk, ncol = _ceil_div(h, rows), _ceil_div(w, cols)
+    hp, wp = nchunk * rows, ncol * cols
+    if hp != h or wp != w:
+        pad = ((0, 0), (0, hp - h), (0, wp - w)) + (((0, 0),) if chan else ())
+        a = jnp.pad(a, pad, constant_values=fill)
+    a = a.reshape(b, nchunk, rows, ncol, cols, k)
+    a = a.transpose(1, 3, 0, 2, 4, 5).reshape(nchunk * ncol, b, rows * cols, k)
+    return a if chan else a[..., 0]
+
+
+def _untile(a: jax.Array, h: int, w: int, rows: int, cols: int) -> jax.Array:
+    """Inverse of :func:`_tile` for [ntile, B, P, K] -> [B, H, W, K]."""
+    ntile, b, p, k = a.shape
+    nchunk, ncol = _ceil_div(h, rows), _ceil_div(w, cols)
+    a = a.reshape(nchunk, ncol, b, rows, cols, k)
+    a = a.transpose(2, 0, 3, 1, 4, 5).reshape(b, nchunk * rows, ncol * cols, k)
+    return a[:, :h, :w]
+
+
+def _masked_minmax(v, valid, rows, cols, big):
+    """Per-tile masked min/max of int map ``v`` [B,H,W] -> two [B,nt,nc]."""
+    b, h, w = v.shape
+    nchunk, ncol = _ceil_div(h, rows), _ceil_div(w, cols)
+    hp, wp = nchunk * rows, ncol * cols
+
+    def red(x, fill, fn):
+        if hp != h or wp != w:
+            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)),
+                        constant_values=fill)
+        return fn(x.reshape(b, nchunk, rows, ncol, cols), axis=(2, 4))
+
+    return (
+        red(jnp.where(valid, v, big), big, jnp.min),
+        red(jnp.where(valid, v, -big), -big, jnp.max),
+    )
+
+
+def _fits_elems(x0, y0, vx0, vx1, vy0, vy1, h, w, rows, band,
+                xband=None, cols=None) -> jax.Array:
+    """Per-batch-element band-fit predicate ``[B]`` — the same guard as the
+    tiled formulation (every source row/col used with nonzero weight falls
+    in its tile's window) computed as cheap per-tile masked min/max
+    reductions of the canonical y0/x0 index maps."""
+    nchunk, band, margin, ncol, xband_e, xmargin, cols_e = _rung_dims(
+        h, w, rows, band, xband, cols
+    )
+    big = jnp.int32(1 << 24)
+    base = jnp.arange(nchunk, dtype=jnp.int32) * rows - margin
+
+    y0n, y0x = _masked_minmax(y0, vy0, rows, w, big)  # [B, nchunk, 1]
+    y1n, y1x = _masked_minmax(y0 + 1, vy1, rows, w, big)
+    ok = (
+        (y0n[..., 0] >= base) & (y0x[..., 0] <= base + band - 1)
+        & (y1n[..., 0] >= base) & (y1x[..., 0] <= base + band - 1)
+    )  # [B, nchunk]
+    fits = jnp.all(ok, axis=1)
+
+    if xband is not None and xband_e < w:
+        xbase = (jnp.arange(ncol, dtype=jnp.int32) * cols_e - xmargin)[None, :]
+        x0n, x0x = _masked_minmax(x0, vx0, rows, cols_e, big)
+        x1n, x1x = _masked_minmax(x0 + 1, vx1, rows, cols_e, big)
+        okx = (
+            (x0n >= xbase) & (x0x <= xbase + xband_e - 1)
+            & (x1n >= xbase) & (x1x <= xbase + xband_e - 1)
+        )  # [B, nchunk, ncol]
+        fits = fits & jnp.all(okx, axis=(1, 2))
+    return fits
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _rung_taps(rungs, dims, grad_channels, img, x0, y0, which):
+    """Taps of the selected rung, canonical layout.
+
+    rungs: static tuple of (band, xband, cols) per ladder rung
+    dims: static (h, w, rows)
+    img: [B, H, W, C] fp32 (bf16-cast inside the branch, like round 4)
+    x0, y0: [B, H, W] int32 floor indices (stop-gradient by construction)
+    which: scalar int32 rung selector
+    Returns taps [B, H, W, 4C] bf16 = [ty0_l | ty0_r | ty1_l | ty1_r].
+    """
+    taps, _ = _rung_taps_fwd(rungs, dims, grad_channels, img, x0, y0, which)
+    return taps
+
+
+def _rung_branch_fwd(dims, band, xband, cols):
+    h, w, rows = dims
+    nchunk, band, margin, ncol, xband, xmargin, cols = _rung_dims(
+        h, w, rows, band, xband, cols
+    )
+    p = rows * cols
+
+    def branch(img, x0, y0):
+        b, _, _, c = img.shape
+        pad_bot = (nchunk - 1) * rows + band - margin - h
+        pad_right = (ncol - 1) * cols + xband - xmargin - w
+        padded = jnp.pad(
+            img.astype(jnp.bfloat16),
+            ((0, 0), (margin, max(pad_bot, 0)),
+             (xmargin, max(pad_right, 0)), (0, 0)),
+        )
+        tile = jnp.arange(nchunk * ncol, dtype=jnp.int32)
+        rs = (tile // ncol) * rows
+        cs = (tile % ncol) * cols
+        base = (rs - margin)[:, None, None]
+        xbase = (cs - xmargin)[:, None, None]
+        y0t = _tile(y0, rows, cols)
+        r0 = jnp.clip(y0t - base, 0, band - 1)
+        r1 = jnp.clip(y0t + 1 - base, 0, band - 1)
+        xr = jnp.clip(_tile(x0, rows, cols) - xbase, -1, xband - 1)
+
+        wio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, xband + 1), 2)
+        rio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, band), 3)
+
+        def one_chunk(_, xs):
+            rsi, csi, x0i, r0i, r1i = xs
+            window = jax.lax.dynamic_slice(
+                padded, (0, rsi, csi, 0), (b, band, xband, c)
+            )
+            zcol = jnp.zeros((b, band, 1, c), window.dtype)
+            pair = jnp.concatenate(
+                [jnp.concatenate([zcol, window], axis=2),
+                 jnp.concatenate([window, zcol], axis=2)], axis=3
+            )  # [B, band, XB+1, 2C]
+            onehot = (wio == (x0i + 1)[..., None]).astype(jnp.bfloat16)
+            # bf16 is EXACT: single-nonzero one-hot, no real accumulation.
+            t = jnp.einsum("bpw,brwk->bprk", onehot, pair,
+                           preferred_element_type=jnp.bfloat16)
+            # Two separate y-selects (multi-output-fused by XLA into one
+            # streaming pass over t; the stacked single-einsum variant was
+            # measured 1.5x slower — see the round-4 note above).
+            o0 = (rio == r0i[..., None, None]).astype(jnp.bfloat16)
+            o1 = (rio == r1i[..., None, None]).astype(jnp.bfloat16)
+            ty0 = jnp.einsum("bpor,bprk->bpk", o0, t,
+                             preferred_element_type=jnp.bfloat16)
+            ty1 = jnp.einsum("bpor,bprk->bpk", o1, t,
+                             preferred_element_type=jnp.bfloat16)
+            return None, jnp.concatenate([ty0, ty1], axis=-1)  # [B, P, 4C]
+
+        _, taps = jax.lax.scan(one_chunk, None, (rs, cs, xr, r0, r1))
+        return _untile(taps, h, w, rows, cols)
+
+    return branch
+
+
+def _rung_branch_bwd(dims, band, xband, cols, gc):
+    h, w, rows = dims
+    nchunk, band, margin, ncol, xband, xmargin, cols = _rung_dims(
+        h, w, rows, band, xband, cols
+    )
+
+    def branch(d4, x0, y0, b, c):
+        # d4: [B, H, W, 4gc] fp32 — the grad-channel slices of d_taps.
+        pad_bot = (nchunk - 1) * rows + band - margin - h
+        pad_right = (ncol - 1) * cols + xband - xmargin - w
+        hp = margin + max(pad_bot, 0) + h
+        wp = xmargin + max(pad_right, 0) + w
+        tile = jnp.arange(nchunk * ncol, dtype=jnp.int32)
+        rs = (tile // ncol) * rows
+        cs = (tile % ncol) * cols
+        base = (rs - margin)[:, None, None]
+        xbase = (cs - xmargin)[:, None, None]
+        y0t = _tile(y0, rows, cols)
+        r0 = jnp.clip(y0t - base, 0, band - 1)
+        r1 = jnp.clip(y0t + 1 - base, 0, band - 1)
+        xr = jnp.clip(_tile(x0, rows, cols) - xbase, -1, xband - 1)
+        d4t = _tile(d4, rows, cols)  # [ntile, B, P, 4gc]
+
+        wio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, xband + 1), 2)
+        rio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, band), 3)
+
+        def one_chunk(dimg, xs):
+            rsi, csi, x0i, r0i, r1i, di = xs
+            d_ty0 = di[..., : 2 * gc].astype(jnp.bfloat16)
+            d_ty1 = di[..., 2 * gc :].astype(jnp.bfloat16)
+            o0 = (rio == r0i[..., None, None]).astype(jnp.bfloat16)
+            o1 = (rio == r1i[..., None, None]).astype(jnp.bfloat16)
+            # Binary placement: building d_t directly in bf16 rounds at
+            # exactly the same point as the round-4 fp32-then-cast (the
+            # cotangents are cast once, the placement multiplies by 0/1).
+            d_t = (o0.swapaxes(2, 3) * d_ty0[:, :, None, :]
+                   + o1.swapaxes(2, 3) * d_ty1[:, :, None, :])
+            onehot = (wio == (x0i + 1)[..., None]).astype(jnp.bfloat16)
+            dpair = jnp.einsum("bpw,bprk->brwk", onehot, d_t,
+                               preferred_element_type=jnp.float32)
+            dwin = dpair[:, :, 1:, :gc] + dpair[:, :, :-1, gc:]
+            cur = jax.lax.dynamic_slice(
+                dimg, (0, rsi, csi, 0), (b, band, xband, gc)
+            )
+            dimg = jax.lax.dynamic_update_slice(
+                dimg, cur + dwin, (0, rsi, csi, 0)
+            )
+            return dimg, None
+
+        dimg, _ = jax.lax.scan(
+            one_chunk,
+            jnp.zeros((b, hp, wp, gc), jnp.float32),
+            (rs, cs, xr, r0, r1, d4t),
+        )
+        dimg = dimg[:, margin : margin + h, xmargin : xmargin + w]
+        if gc < c:
+            dimg = jnp.concatenate(
+                [dimg, jnp.zeros((b, h, w, c - gc), jnp.float32)], axis=-1
+            )
+        return dimg
+
+    return branch
+
+
+def _rung_taps_fwd(rungs, dims, grad_channels, img, x0, y0, which):
+    branches = [_rung_branch_fwd(dims, *r) for r in rungs]
+    if len(branches) == 1:
+        taps = branches[0](img, x0, y0)
+    else:
+        taps = jax.lax.switch(which, branches, img, x0, y0)
+    return taps, (img.shape, x0, y0, which)
+
+
+def _rung_taps_bwd(rungs, dims, grad_channels, res, d_taps):
+    import numpy as np
+    from jax.dtypes import float0
+
+    img_shape, x0, y0, which = res
+    b, h, w, c = img_shape
+    gc = grad_channels
+    zeros_int = lambda a: np.zeros(np.shape(a), float0)
+    if gc == 0:
+        return (jnp.zeros(img_shape, jnp.float32), zeros_int(x0),
+                zeros_int(y0), zeros_int(which))
+    d4 = jnp.concatenate(
+        [d_taps[..., i * c : i * c + gc] for i in range(4)], axis=-1
+    )
+    branches = [
+        (lambda br: lambda d4, x0, y0: br(d4, x0, y0, b, c))(
+            _rung_branch_bwd(dims, *r, gc=gc)
+        )
+        for r in rungs
+    ]
+    if len(branches) == 1:
+        dimg = branches[0](d4, x0, y0)
+    else:
+        dimg = jax.lax.switch(which, branches, d4, x0, y0)
+    return (dimg, zeros_int(x0), zeros_int(y0), zeros_int(which))
+
+
+_rung_taps.defvjp(_rung_taps_fwd, _rung_taps_bwd)
+
+
 def warp_sample_band_packed(
     img: jax.Array,
     coords: jax.Array,
@@ -606,6 +905,80 @@ def warp_sample_band_packed(
 
         return branch, fits_elem
 
+    use_taps = (not fallback) or (
+        ladder_band is not None and ladder_band > band
+    )
+    if use_taps:
+        # Canonical-taps path (production): one custom-VJP switch whose
+        # branches all emit [B, H, W, 4C] bf16 taps; fp32 weight combine
+        # outside. See the round-5 note above `_rung_taps`.
+        compute = jnp.float32
+        x = _unnormalize(coords[..., 0].astype(compute), w)
+        y = _unnormalize(coords[..., 1].astype(compute), h)
+        if padding_mode == "border":
+            x = jnp.clip(x, 0.0, w - 1.0)
+            y = jnp.clip(y, 0.0, h - 1.0)
+        x0f, y0f = jnp.floor(x), jnp.floor(y)
+        wx, wy = x - x0f, y - y0f
+        x0 = jax.lax.stop_gradient(x0f).astype(jnp.int32)
+        y0 = jax.lax.stop_gradient(y0f).astype(jnp.int32)
+        if padding_mode == "zeros":
+            vx0 = (x0 >= 0) & (x0 <= w - 1)
+            vx1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+            vy0 = (y0 >= 0) & (y0 <= h - 1)
+            vy1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+        else:
+            vx0 = vx1 = vy0 = vy1 = jnp.ones(x0.shape, bool)
+
+        dims = (h, w, rows)
+        primary = (band, xband, cols_per_chunk)
+        if not fallback:
+            rungs = (primary,)
+            which = jnp.int32(0)
+        else:
+            # Ladder: primary -> full-width lb-row band -> COVER band.
+            # The cover rung's window (2 * nchunk * rows: the margin
+            # reaches the whole padded image from every chunk) contains
+            # every in-frame source row by construction, so it can never
+            # miss — gather is not needed and value semantics stay
+            # uniformly band-exact (bf16 source rounding + fp32 weights).
+            nchunk = _ceil_div(h, rows)
+            cover = 2 * nchunk * rows
+            lb = min(ladder_band + (-ladder_band) % rows, cover)
+            fits0 = jnp.all(_fits_elems(
+                x0, y0, vx0, vx1, vy0, vy1, h, w, rows, band,
+                xband, cols_per_chunk,
+            ))
+            if lb >= cover:
+                rungs = (primary, (cover, None, None))
+                which = jnp.where(fits0, 0, 1).astype(jnp.int32)
+            else:
+                fits1 = jnp.all(_fits_elems(
+                    x0, y0, vx0, vx1, vy0, vy1, h, w, rows, lb, None, None
+                ))
+                rungs = (primary, (lb, None, None), (cover, None, None))
+                which = jnp.where(
+                    fits0, 0, jnp.where(fits1, 1, 2)
+                ).astype(jnp.int32)
+            which = jax.lax.stop_gradient(which)
+
+        taps = _rung_taps(rungs, dims, grad_channels, img, x0, y0, which)
+        ax0 = vx0.astype(compute)
+        ax1 = vx1.astype(compute)
+        by0 = vy0.astype(compute)
+        by1 = vy1.astype(compute)
+        w00 = (1.0 - wy) * by0 * (1.0 - wx) * ax0
+        w01 = (1.0 - wy) * by0 * wx * ax1
+        w10 = wy * by1 * (1.0 - wx) * ax0
+        w11 = wy * by1 * wx * ax1
+        out = (
+            w00[..., None] * taps[..., :c].astype(compute)
+            + w01[..., None] * taps[..., c : 2 * c].astype(compute)
+            + w10[..., None] * taps[..., 2 * c : 3 * c].astype(compute)
+            + w11[..., None] * taps[..., 3 * c :].astype(compute)
+        )
+        return out.astype(out_dtype)
+
     band_branch, fits_elem = make_band_branch(band, xband, cols_per_chunk)
     fits = jnp.all(fits_elem)
 
@@ -616,32 +989,6 @@ def warp_sample_band_packed(
             out_dtype
         )
 
-    if not fallback:
-        # No exactness guard: out-of-band warps clamp to the window edge.
-        # Only for callers that mask such pixels anyway (measurement use).
-        return band_branch(img, coords)
-    if ladder_band is not None and ladder_band > band:
-        # Ladder: primary -> full-width lb-row band -> COVER band. The
-        # cover rung's window (2 * nchunk * rows, i.e. the margin reaches
-        # the whole padded image from every chunk) contains every in-frame
-        # source row by construction, so it can never miss — it replaces
-        # the gather rung at ~0.6x the cost, and keeps the ladder's value
-        # semantics uniform (band-exact: bf16 source rounding + fp32
-        # weights) instead of jumping to the torch-exact gather for
-        # outlier steps only.
-        nchunk = (h + rows - 1) // rows
-        cover = 2 * nchunk * rows
-        lb = min(ladder_band + (-ladder_band) % rows, cover)
-        wide_branch, wide_fits_elem = make_band_branch(lb, None, None)
-        cover_branch, _ = make_band_branch(cover, None, None)
-        if lb >= cover:
-            return jax.lax.cond(fits, band_branch, cover_branch, img, coords)
-        which = jnp.where(
-            fits, 0, jnp.where(jnp.all(wide_fits_elem), 1, 2)
-        )
-        return jax.lax.switch(
-            which, [band_branch, wide_branch, cover_branch], img, coords
-        )
     return jax.lax.cond(fits, band_branch, gather_branch, img, coords)
 
 
@@ -667,8 +1014,25 @@ def band_fits_per_element(
             cols_per_chunk = _default_cols(xband)
         if xband >= w:
             xband = cols_per_chunk = None
-    _, fits_elem = _band_geometry(
-        coords, h, w, padding_mode, band, rows_per_chunk, xband,
-        cols_per_chunk,
+    # Same canonical-geometry subgraph as the production taps path (so a
+    # jointly jitted warp + flags program CSEs it), then the cheap per-tile
+    # min/max fits reduction.
+    compute = jnp.float32
+    x = _unnormalize(coords[..., 0].astype(compute), w)
+    y = _unnormalize(coords[..., 1].astype(compute), h)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, w - 1.0)
+        y = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    if padding_mode == "zeros":
+        vx0 = (x0 >= 0) & (x0 <= w - 1)
+        vx1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+        vy0 = (y0 >= 0) & (y0 <= h - 1)
+        vy1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+    else:
+        vx0 = vx1 = vy0 = vy1 = jnp.ones(x0.shape, bool)
+    return _fits_elems(
+        x0, y0, vx0, vx1, vy0, vy1, h, w, rows_per_chunk, band,
+        xband, cols_per_chunk,
     )
-    return fits_elem

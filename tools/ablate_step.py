@@ -233,6 +233,11 @@ CONFIGS = {
                    "augment": False},
     "b16_convs": {"batch": 16, "convs_only": True, "fused": 8,
                   "augment": False},
+    # round-5: r50 decomposition (pose stays r18 — reference parity)
+    "convs_only_r50": {"convs_only": True, "layers": 50},
+    "disp_only_r50": {"convs_only": True, "nets": "disp", "layers": 50},
+    "disp_only_r50_unpacked": {"convs_only": True, "nets": "disp",
+                               "layers": 50, "packed_decoder": False},
 }
 
 
