@@ -631,8 +631,11 @@ def _fits_elems(x0, y0, vx0, vx1, vy0, vy1, h, w, rows, band,
 def _rung_taps(rungs, dims, grad_channels, img, x0, y0, which):
     """Taps of the selected rung, canonical layout.
 
-    rungs: static tuple of (band, xband, cols) per ladder rung
-    dims: static (h, w, rows)
+    rungs: static tuple of (band, xband, cols, rows) per ladder rung —
+      each rung carries its own row-chunking (wide 1-D rungs measure
+      faster at r8 even when the primary runs r16: 171.8 vs 184.9
+      ms/step for the 192-row rung)
+    dims: static (h, w)
     img: [B, H, W, C] fp32 (bf16-cast inside the branch, like round 4)
     x0, y0: [B, H, W] int32 floor indices (stop-gradient by construction)
     which: scalar int32 rung selector
@@ -642,8 +645,8 @@ def _rung_taps(rungs, dims, grad_channels, img, x0, y0, which):
     return taps
 
 
-def _rung_branch_fwd(dims, band, xband, cols):
-    h, w, rows = dims
+def _rung_branch_fwd(dims, band, xband, cols, rows):
+    h, w = dims
     nchunk, band, margin, ncol, xband, xmargin, cols = _rung_dims(
         h, w, rows, band, xband, cols
     )
@@ -702,8 +705,8 @@ def _rung_branch_fwd(dims, band, xband, cols):
     return branch
 
 
-def _rung_branch_bwd(dims, band, xband, cols, gc):
-    h, w, rows = dims
+def _rung_branch_bwd(dims, band, xband, cols, rows, gc):
+    h, w = dims
     nchunk, band, margin, ncol, xband, xmargin, cols = _rung_dims(
         h, w, rows, band, xband, cols
     )
@@ -930,33 +933,38 @@ def warp_sample_band_packed(
         else:
             vx0 = vx1 = vy0 = vy1 = jnp.ones(x0.shape, bool)
 
-        dims = (h, w, rows)
-        primary = (band, xband, cols_per_chunk)
+        dims = (h, w)
+        primary = (band, xband, cols_per_chunk, rows)
         if not fallback:
             rungs = (primary,)
             which = jnp.int32(0)
         else:
             # Ladder: primary -> full-width lb-row band -> COVER band.
-            # The cover rung's window (2 * nchunk * rows: the margin
+            # The cover rung's window (2 * nchunk * wrows: the margin
             # reaches the whole padded image from every chunk) contains
             # every in-frame source row by construction, so it can never
             # miss — gather is not needed and value semantics stay
             # uniformly band-exact (bf16 source rounding + fp32 weights).
-            nchunk = _ceil_div(h, rows)
-            cover = 2 * nchunk * rows
-            lb = min(ladder_band + (-ladder_band) % rows, cover)
+            # Wide 1-D rungs run at r8 regardless of the primary's
+            # row-chunking (measured faster: band192 171.8 ms at r8 vs
+            # 184.9 at r16).
+            wrows = min(rows, 8)
+            nchunk = _ceil_div(h, wrows)
+            cover = 2 * nchunk * wrows
+            lb = min(ladder_band + (-ladder_band) % wrows, cover)
             fits0 = jnp.all(_fits_elems(
                 x0, y0, vx0, vx1, vy0, vy1, h, w, rows, band,
                 xband, cols_per_chunk,
             ))
             if lb >= cover:
-                rungs = (primary, (cover, None, None))
+                rungs = (primary, (cover, None, None, wrows))
                 which = jnp.where(fits0, 0, 1).astype(jnp.int32)
             else:
                 fits1 = jnp.all(_fits_elems(
-                    x0, y0, vx0, vx1, vy0, vy1, h, w, rows, lb, None, None
+                    x0, y0, vx0, vx1, vy0, vy1, h, w, wrows, lb, None, None
                 ))
-                rungs = (primary, (lb, None, None), (cover, None, None))
+                rungs = (primary, (lb, None, None, wrows),
+                         (cover, None, None, wrows))
                 which = jnp.where(
                     fits0, 0, jnp.where(fits1, 1, 2)
                 ).astype(jnp.int32)

@@ -44,6 +44,13 @@ def main():
     p.add_argument("--coordinator", required=True)
     p.add_argument("--process-id", type=int, required=True)
     p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--local-devices", type=int, default=1,
+                   help="virtual CPU devices in THIS process (the test "
+                        "sets xla_force_host_platform_device_count to "
+                        "match) — >1 exercises the hybrid multi-host x "
+                        "multi-device case: cross-process collectives "
+                        "composing with intra-process sharding")
+    p.add_argument("--global-batch", type=int, default=B_GLOBAL)
     p.add_argument("--out", required=True)
     args = p.parse_args()
 
@@ -55,9 +62,10 @@ def main():
         process_id=args.process_id,
     )
     assert jax.process_count() == args.num_processes
-    assert len(jax.devices()) == args.num_processes, (
-        "expected one global CPU device per process, got "
-        f"{jax.devices()}"
+    n_global = args.num_processes * args.local_devices
+    assert len(jax.devices()) == n_global, (
+        f"expected {args.local_devices} global CPU device(s) per process, "
+        f"got {jax.devices()}"
     )
 
     import jax.numpy as jnp  # noqa: F401
@@ -83,7 +91,7 @@ def main():
 
     loader = BatchLoader(
         SyntheticSequenceSet(),
-        batch_size=B_GLOBAL,
+        batch_size=args.global_batch,
         shuffle=False,
         num_workers=1,
         drop_last=True,
@@ -92,7 +100,9 @@ def main():
     )
     local_batch = next(iter(loader))
     local_batch.pop("_n_valid", None)
-    assert local_batch["tgt"].shape[0] == B_GLOBAL // args.num_processes
+    assert local_batch["tgt"].shape[0] == (
+        args.global_batch // args.num_processes
+    )
     global_batch = shard_batch(local_batch, mesh)
 
     # AOT-compile BEFORE the coordination barrier: the first Gloo

@@ -223,7 +223,7 @@ def test_fullstep_loss_and_grads_match_reference(cfg):
         # (tests/test_warp_band.py) composed through the loss.
         (1, True, True, "band64", 5e-3, 3e-2),
         # the PRODUCTION TPU sampler family (train.py --sampler auto =
-        # band64x368c208l192): 2-D column banding + the fallback ladder,
+        # band80r16x368c208l192): 2-D column banding + the fallback ladder,
         # held to the same end-to-end torch assertion. Windows scale to
         # the 96x64 test shape (x416 would degrade to 1-D at W=96 and
         # test nothing) — same code path, same budget-to-image ratios.

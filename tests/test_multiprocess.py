@@ -30,15 +30,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _worker_env() -> dict:
+def _worker_env(local_devices: int = 1) -> dict:
     env = dict(os.environ)
-    # Isolated JAX config: plain CPU (ONE local device per process — the
-    # parent conftest's 8-virtual-device XLA_FLAGS must not leak), full XLA
-    # optimization (GSPMD-partitioned programs abort on XLA:CPU under
-    # jax_disable_most_optimizations), shared persistent compile cache.
+    # Isolated JAX config: plain CPU (``local_devices`` virtual devices
+    # per process — the parent conftest's 8-virtual-device XLA_FLAGS must
+    # not leak), full XLA optimization (GSPMD-partitioned programs abort
+    # on XLA:CPU under jax_disable_most_optimizations), shared persistent
+    # compile cache.
     env.pop("JAX_DISABLE_MOST_OPTIMIZATIONS", None)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}"
+    )
     env["JAX_COMPILATION_CACHE_DIR"] = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache"
     )
@@ -53,9 +56,23 @@ def _worker_env() -> dict:
 
 
 @pytest.mark.slow
-def test_two_process_train_step_matches_single_process(tmp_path):
+@pytest.mark.parametrize(
+    "local_devices,global_batch",
+    [
+        (1, 2),  # 2 processes x 1 device: pure multi-host
+        # 2 processes x 2 virtual devices: real pods are N hosts x M local
+        # chips — cross-process collectives must compose with intra-
+        # process sharding (each process feeds a 2-sample slice of the
+        # 4-sample global batch across its 2 local devices).
+        (2, 4),
+    ],
+    ids=["2proc-x-1dev", "2proc-x-2dev-hybrid"],
+)
+def test_two_process_train_step_matches_single_process(
+    tmp_path, local_devices, global_batch
+):
     port = _free_port()
-    env = _worker_env()
+    env = _worker_env(local_devices)
     procs, outs = [], []
     for pid in range(2):
         out = tmp_path / f"params_{pid}.npz"
@@ -67,6 +84,8 @@ def test_two_process_train_step_matches_single_process(tmp_path):
                     "--coordinator", f"localhost:{port}",
                     "--process-id", str(pid),
                     "--num-processes", "2",
+                    "--local-devices", str(local_devices),
+                    "--global-batch", str(global_batch),
                     "--out", str(out),
                 ],
                 env=env,
@@ -106,7 +125,9 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         # step on one device. Global-batch semantics (sync-BN, mean grads)
         # make this the same computation up to fp32 reduction order.
         import jax
-        from mp_worker import B_GLOBAL, H, W, SyntheticSequenceSet
+        from mp_worker import H, W, SyntheticSequenceSet
+
+        B_GLOBAL = global_batch
         from sc_sfmlearner_release_tpu.data.loader import BatchLoader
         from sc_sfmlearner_release_tpu.models import DispNet, PoseNet
         from sc_sfmlearner_release_tpu.training import (

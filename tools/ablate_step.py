@@ -95,6 +95,8 @@ def build(variant: dict):
             state = create_train_state(disp, pose, tx, jax.random.PRNGKey(0))
             state = replicate(state, mesh)
 
+        fwd_only = variant.get("fwd_only", False)
+
         def one(state, batch):
             if aug is not None:
                 key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
@@ -121,6 +123,13 @@ def build(variant: dict):
                     s += jnp.sum(p) + jnp.sum(pi)
                 return s * 1e-6, {"disp": ds, "pose": ps}
 
+            if fwd_only:
+                # forward pass only (no grad/opt): the fwd-vs-(fwd+bwd)
+                # delta sizes the backward structure per net
+                loss, stats = loss_fn(state.params)
+                return state.replace(
+                    step=state.step + 1, batch_stats=stats
+                ), {"loss": loss[None]}
             (loss, stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             updates, opt_state = tx.update(
@@ -233,6 +242,28 @@ CONFIGS = {
                    "augment": False},
     "b16_convs": {"batch": 16, "convs_only": True, "fused": 8,
                   "augment": False},
+    # round-5: tile/row sweep under the canonical-taps formulation
+    "band64r16x368c208l192_lr0": {"sampler": "band64r16x368c208l192",
+                                  "lr": 0.0},
+    "band80r16x368c208l192_lr0": {"sampler": "band80r16x368c208l192",
+                                  "lr": 0.0},
+    "band96r16x368c208l192_lr0": {"sampler": "band96r16x368c208l192",
+                                  "lr": 0.0},
+    "band96r32x368c208l192_lr0": {"sampler": "band96r32x368c208l192",
+                                  "lr": 0.0},
+    "r50_band64r16_lr0": {"layers": 50, "sampler": "band64r16x368c208l192",
+                          "lr": 0.0},
+    "r50_band80r16_lr0": {"layers": 50, "sampler": "band80r16x368c208l192",
+                          "lr": 0.0},
+    "disp_fwd_only": {"convs_only": True, "nets": "disp", "fwd_only": True},
+    "pose_fwd_only": {"convs_only": True, "nets": "pose", "fwd_only": True},
+    "disp_fwd_only_r50": {"convs_only": True, "nets": "disp",
+                          "layers": 50, "fwd_only": True},
+    # honest rung costs for the r16 ladder economics
+    "band192r16nf_lr0": {"sampler": "band192r16nf", "lr": 0.0},
+    "band192nf_lr0": {"sampler": "band192nf", "lr": 0.0},
+    "band64x368c104l192_lr0": {"sampler": "band64x368c104l192", "lr": 0.0},
+    "band48x368c208l192_lr0": {"sampler": "band48x368c208l192", "lr": 0.0},
     # round-5: r50 decomposition (pose stays r18 — reference parity)
     "convs_only_r50": {"convs_only": True, "layers": 50},
     "disp_only_r50": {"convs_only": True, "nets": "disp", "layers": 50},

@@ -53,6 +53,8 @@ def main():
     p.add_argument("--sampler", default="band64")
     p.add_argument("--fused", type=int, default=16)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--layers", type=int, default=18,
+                   help="DispNet encoder depth (pose stays 18)")
     p.add_argument("--no-augment", dest="augment", action="store_false")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--top", type=int, default=30)
@@ -80,7 +82,7 @@ def main():
 
     bargs = types.SimpleNamespace(
         batch=args.batch, fused=args.fused, sampler=args.sampler,
-        augment=args.augment, remat=args.remat,
+        augment=args.augment, remat=args.remat, layers=args.layers,
     )
     step, state, batch, pick = ps.build_step(bargs)
     txt = step.lower(state, batch).compile().as_text()

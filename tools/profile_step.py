@@ -63,7 +63,8 @@ def build_step(args):
             "intrinsics": host["intrinsics"],
         }
 
-    disp = DispNet(num_layers=18, dtype=jnp.bfloat16)
+    disp = DispNet(num_layers=getattr(args, "layers", 18),
+                   dtype=jnp.bfloat16)
     pose = PoseNet(num_layers=18, dtype=jnp.bfloat16)
     tx = make_optimizer(1e-4)
     state = create_train_state(disp, pose, tx, jax.random.PRNGKey(0))
@@ -140,6 +141,8 @@ def main():
     p.add_argument("--sampler", default="band64")
     p.add_argument("--fused", type=int, default=16)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--layers", type=int, default=18,
+                   help="DispNet encoder depth (pose stays 18)")
     p.add_argument("--steps", type=int, default=4,
                    help="traced dispatches (each = --fused optimizer steps)")
     p.add_argument("--no-augment", dest="augment", action="store_false")

@@ -492,14 +492,17 @@ def main(argv=None) -> int:
 
     sampler = args.sampler
     if sampler == "auto":
-        # band64x368c208l192: 2-D banded primary (90.2 ms/step with the
-        # ladder armed on v5e vs 107.5 for 1-D band64) — the 368-column
-        # x-window's 80-px budget adds ZERO violations over full-width up
-        # to 1.2 m/frame on the measured motion tables, and the fallback
-        # ladder caps budget violations at the 192-row rung instead of
-        # the 487 ms gather step (docs/DESIGN.md par.3).
+        # band80r16x368c208l192: 2-D banded primary under the round-5
+        # canonical-taps formulation (81.1 ms/step with the ladder armed
+        # on v5e vs 90.2 for round-4's band64x368c208l192) with a BIGGER
+        # displacement budget than the old default (32 rows / 80 px vs
+        # 28/80): it is faster on the primary path AND halves the
+        # measured city-speed fallback rate (1.8% vs 3.2% per directed
+        # pair), so it dominates the old default in every measured motion
+        # regime; the fallback ladder caps budget violations at the
+        # 192-row rung (docs/DESIGN.md par.3).
         sampler = ("gather" if jax.default_backend() == "cpu"
-                   else "band64x368c208l192")
+                   else "band80r16x368c208l192")
         print(f"=> sampler: {sampler} (auto)")
 
     if len(train_set):
