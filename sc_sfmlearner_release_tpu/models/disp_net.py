@@ -66,11 +66,20 @@ class DepthDecoder(nn.Module):
     scales: Tuple[int, ...] = (0, 1, 2, 3)
     dtype: Any = jnp.float32
     packed: bool = True
+    # Optional per-stage override of the pack factors (stage 0..4);
+    # None = _stage_pack defaults. Measurement knob: r50's skip concats
+    # are 4x wider than r18's, which shifts where packing pays.
+    pack_caps: Optional[Tuple[int, ...]] = None
+
+    def _pack(self, i: int) -> int:
+        if self.pack_caps is not None:
+            return self.pack_caps[i]
+        return _stage_pack(i)
 
     def _can_pack(self, features) -> bool:
         w = features[0].shape[2] * 2  # full input width
         for i in range(5):
-            p = _stage_pack(i)
+            p = self._pack(i)
             if (w // (2**i)) % (2 * p):
                 return False
         return True
@@ -114,7 +123,7 @@ class DepthDecoder(nn.Module):
 
         for i in range(4, -1, -1):
             f = DEC_CHANNELS[i]
-            pi = _stage_pack(i)
+            pi = self._pack(i)
             x = repack(x, p, pi, c)
             p = pi
             x = nn.elu(
@@ -161,6 +170,7 @@ class DispNet(nn.Module):
     packed_decoder: bool = True
     packed_stem: bool = False
     stem_pack: int = 8
+    decoder_pack_caps: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, ...]:
@@ -174,5 +184,6 @@ class DispNet(nn.Module):
             name="encoder",
         )(x, train)
         return DepthDecoder(
-            dtype=self.dtype, packed=self.packed_decoder, name="decoder"
+            dtype=self.dtype, packed=self.packed_decoder,
+            pack_caps=self.decoder_pack_caps, name="decoder"
         )(features)

@@ -181,6 +181,55 @@ class PackedBasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
+class PackedBottleneck(nn.Module):
+    """Lane-packed twin of a stride-1 torchvision Bottleneck (layer1 of
+    ResNet-50/101/152: the 1x1 convs run at C=64 — half the 128 lanes —
+    over quarter resolution). Identical math and parameter/stat tree
+    (conv1..conv3, bn1..bn3, downsample_conv/downsample_bn)."""
+
+    features: int  # bottleneck width; output is 4x
+    in_features: int
+    pack: int
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        from .packed_conv import PackedBatchNorm, PackedConvSame
+
+        class _NormWrap(nn.Module):
+            features: int
+            pack: int
+            axis_name: Optional[Any]
+            dtype: Any
+
+            @nn.compact
+            def __call__(self, x, train):
+                return PackedBatchNorm(
+                    self.features, self.pack, axis_name=self.axis_name
+                    if train else None, dtype=self.dtype, name="bn",
+                )(x, train)
+
+        p = self.pack
+        f, out_f = self.features, self.features * 4
+        norm = lambda feats, name: _NormWrap(
+            feats, p, self.axis_name, self.dtype, name=name
+        )
+        conv = lambda feats, in_f, k, name: PackedConvSame(
+            feats, in_f, k, 1, p, self.dtype, name=name
+        )
+
+        identity = x
+        out = nn.relu(norm(f, "bn1")(conv(f, self.in_features, 1, "conv1")(x), train))
+        out = nn.relu(norm(f, "bn2")(conv(f, f, 3, "conv2")(out), train))
+        out = norm(out_f, "bn3")(conv(out_f, f, 1, "conv3")(out), train)
+        if self.in_features != out_f:
+            identity = norm(out_f, "downsample_bn")(
+                conv(out_f, self.in_features, 1, "downsample_conv")(x), train
+            )
+        return nn.relu(out + identity)
+
+
 class ResNetEncoder(nn.Module):
     """5-stage feature pyramid: [relu(bn(conv1)), layer1..layer4].
 
@@ -275,7 +324,32 @@ class ResNetEncoder(nn.Module):
             and not BOTTLENECK[self.num_layers]
             and pool_w % 2 == 0
         )
+        pack_layer1_bneck = (
+            self.packed
+            and BOTTLENECK[self.num_layers]
+            and pool_w % 2 == 0
+        )
         for stage, (width, n_blocks) in enumerate(zip(widths, blocks)):
+            if stage == 0 and pack_layer1_bneck:
+                # Bottleneck layer1 (r50/101/152): 1x1 convs at C=64 run
+                # at half lane width over quarter resolution — same
+                # lane-starved regime the basic-block packing fixes.
+                if p_cur != 2:
+                    xp = pack_w(unpack_w(x, p_cur, 64), 2) if p_cur != 1 \
+                        else pack_w(x, 2)
+                else:
+                    xp = x
+                in_f = 64
+                for i in range(n_blocks):
+                    xp = PackedBottleneck(
+                        features=width, in_features=in_f, pack=2,
+                        axis_name=self.axis_name, dtype=self.dtype,
+                        name=f"layer1_{i}",
+                    )(xp, train)
+                    in_f = width * 4
+                x = unpack_w(xp, 2, width * 4)
+                features.append(x)
+                continue
             if stage == 0 and pack_layer1:
                 if p_cur != 2:  # pure reshape between pack factors
                     xp = pack_w(unpack_w(x, p_cur, 64), 2) if p_cur != 1 \

@@ -103,24 +103,27 @@ def test_packed_decoder_matches_plain_and_tree():
 import pytest
 
 
-@pytest.mark.parametrize("packed_stem,stem_pack", [
-    (False, 8),
+@pytest.mark.parametrize("packed_stem,stem_pack,num_layers", [
+    (False, 8, 18),
+    # bottleneck layer1 packing (resnet.PackedBottleneck, round 5)
+    (False, 8, 50),
     # the s2d stems are kept measured-slower ALTERNATIVES (off by
     # default) — their exactness checks live in the slow suite
-    pytest.param(True, 8, marks=pytest.mark.slow),   # r3 lane-packed s2d
-    pytest.param(True, 1, marks=pytest.mark.slow),   # r4 pure s2d
+    pytest.param(True, 8, 18, marks=pytest.mark.slow),  # r3 lane-packed s2d
+    pytest.param(True, 1, 18, marks=pytest.mark.slow),  # r4 pure s2d
 ])
-def test_packed_encoder_matches_plain(packed_stem, stem_pack):
-    """layer1 lane packing (resnet.PackedBasicBlock) — and the optional
-    space-to-depth stem (a kept, measured-slower alternative) — same
-    params, same outputs (train AND eval), same updated batch stats."""
+def test_packed_encoder_matches_plain(packed_stem, stem_pack, num_layers):
+    """layer1 lane packing (resnet.PackedBasicBlock / PackedBottleneck) —
+    and the optional space-to-depth stem (a kept, measured-slower
+    alternative) — same params, same outputs (train AND eval), same
+    updated batch stats."""
     from sc_sfmlearner_release_tpu.models.resnet import ResNetEncoder
 
     r = np.random.RandomState(4)
     x = jnp.asarray(r.rand(2, 64, 64, 3).astype(np.float32))
-    m_p = ResNetEncoder(num_layers=18, packed=True, packed_stem=packed_stem,
-                        stem_pack=stem_pack)
-    m_u = ResNetEncoder(num_layers=18, packed=False)
+    m_p = ResNetEncoder(num_layers=num_layers, packed=True,
+                        packed_stem=packed_stem, stem_pack=stem_pack)
+    m_u = ResNetEncoder(num_layers=num_layers, packed=False)
     v = m_p.init(jax.random.PRNGKey(0), x, train=False)
     v_u = m_u.init(jax.random.PRNGKey(0), x, train=False)
 
@@ -137,22 +140,74 @@ def test_packed_encoder_matches_plain(packed_stem, stem_pack):
         if train:
             fa, sa = m_p.apply(v, x, train=True, mutable=["batch_stats"])
             fb, sb = m_u.apply(v, x, train=True, mutable=["batch_stats"])
-            for a, b in zip(
-                jax.tree_util.tree_leaves(sa), jax.tree_util.tree_leaves(sb)
+            for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(sa),
+                jax.tree_util.tree_leaves_with_path(sb),
             ):
+                if num_layers >= 50 and "layer1" not in jax.tree_util.keystr(pa):
+                    # r50: stats BELOW the packed layer1 are produced by
+                    # identical unpacked code; fp32 reassociation noise
+                    # from 3 packed bottlenecks amplifies through 13 more
+                    # blocks (layer4 var diffs ~0.6 abs) — exactness of
+                    # the packed block itself is held bitwise in fp64 by
+                    # test_packed_bottleneck_exact_fp64.
+                    continue
                 np.testing.assert_allclose(
-                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                    err_msg=jax.tree_util.keystr(pa),
                 )
         else:
             fa = m_p.apply(v, x, train=False)
             fb = m_u.apply(v, x, train=False)
-        for a, b in zip(fa, fb):
+        for i, (a, b) in enumerate(zip(fa, fb)):
             # fp32 accumulation-order noise on post-relu activations (the
             # full-opt XLA pipeline reassociates slightly differently than
-            # the default test pipeline — bound covers both)
+            # the default test pipeline — bound covers both); r50's
+            # deeper stages amplify the packed-layer1 reassociation noise
+            loose = num_layers >= 50 and i >= 2
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+                np.asarray(a), np.asarray(b),
+                rtol=1e-2 if loose else 2e-4,
+                atol=1e-2 if loose else 2e-4,
+                err_msg=f"feature {i} (train={train})",
             )
+
+
+def test_packed_bottleneck_exact_fp64():
+    """PackedBottleneck == Bottleneck bitwise-level in fp64 (same params,
+    outputs and batch stats) — the exactness anchor behind the r50
+    encoder packing (the full-encoder fp32 check above can only bound
+    noise amplified by the unpacked downstream stages)."""
+    from jax import config as jax_config
+
+    from sc_sfmlearner_release_tpu.models.packed_conv import pack_w, unpack_w
+    from sc_sfmlearner_release_tpu.models.resnet import (
+        Bottleneck, PackedBottleneck,
+    )
+
+    jax_config.update("jax_enable_x64", True)
+    try:
+        r = np.random.RandomState(0)
+        x = jnp.asarray(r.rand(2, 16, 32, 64), jnp.float64)
+        mu = Bottleneck(features=64, strides=1, dtype=jnp.float64)
+        mp = PackedBottleneck(
+            features=64, in_features=64, pack=2, dtype=jnp.float64
+        )
+        v = mu.init(jax.random.PRNGKey(0), x, True)
+        out_u, su = mu.apply(v, x, True, mutable=["batch_stats"])
+        out_p, sp = mp.apply(v, pack_w(x, 2), True, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(unpack_w(out_p, 2, 256)), np.asarray(out_u),
+            rtol=0, atol=1e-11,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(sp), jax.tree_util.tree_leaves(su)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-13
+            )
+    finally:
+        jax_config.update("jax_enable_x64", False)
 
 
 def test_packed_decoder_pack_guard():

@@ -66,6 +66,7 @@ def build(variant: dict):
         if "stem_pack" in variant else {}
     disp = DispNet(num_layers=layers, dtype=jnp.bfloat16,
                    packed_decoder=variant.get("packed_decoder", True),
+                   decoder_pack_caps=variant.get("dec_pack_caps"),
                    **stem)
     pose = PoseNet(num_layers=18, dtype=jnp.bfloat16, **stem)
     # lr=0 keeps the state fixed across the timing chains (same Adam
@@ -269,6 +270,11 @@ CONFIGS = {
     "disp_only_r50": {"convs_only": True, "nets": "disp", "layers": 50},
     "disp_only_r50_unpacked": {"convs_only": True, "nets": "disp",
                                "layers": 50, "packed_decoder": False},
+    # decoder pack-cap sweeps (r50 skip concats are 4x wider than r18)
+    "disp_only_r50_nopack2": {"convs_only": True, "nets": "disp",
+                              "layers": 50, "dec_pack_caps": (8, 4, 1, 1, 1)},
+    "disp_only_r50_pack884": {"convs_only": True, "nets": "disp",
+                              "layers": 50, "dec_pack_caps": (8, 8, 4, 1, 1)},
 }
 
 
