@@ -20,30 +20,36 @@ the reference-config train step ~80x slower than its FLOP floor, with the
 time. Pallas' dynamic-gather primitive is not reliably available either.
 This module spends FLOPs to stay on the MXU instead:
 
-  * The output is cut into row-chunks of ``rows_per_chunk`` rows. Chunk
-    ``ci`` reads a static source-row window (band) of ``band`` rows
-    centered on its own rows — video ego-motion displaces pixels
-    vertically by bounded amounts (worst case on KITTI: near-field ground
-    pixels, ~30 px at 256p), so a moderate band covers real warps; a
-    global ``lax.cond`` falls back to the exact gather formulation for
-    the whole call otherwise (``fallback=True``).
-  * Within a chunk, a single binary one-hot ``[P, W+1]`` (1 at column
+  * The output is cut into (rows x cols) tiles. Each tile reads a static
+    source window (``band`` rows; optionally an ``xband``-column window —
+    2-D banding) centered on itself — video ego-motion displaces pixels
+    by bounded amounts, so a moderate window covers real warps; the
+    ``l<LB>`` fallback LADDER handles violations with a wider full-width
+    band and an always-fits COVER band (the legacy plain-band path falls
+    back to the exact gather formulation instead).
+  * Within a tile, a single binary one-hot ``[P, XB+1]`` (1 at column
     ``x0+1``) contracts against the window paired with its one-column-
     shifted copy, yielding BOTH x-taps of every band row in one MXU
-    matmul ``[P, W+1] @ [W+1, band*2C]``.
-  * The x-weights (fp32, VPU) combine the two tap planes; the y-selection
-    reduces the band axis with compare-generated fp32 weights.
-  * A ``lax.scan`` over chunks bounds live memory: per-iteration buffers
+    matmul; two y-select one-hots reduce the band axis to the raw
+    bilinear tap pairs.
+  * A ``lax.scan`` over tiles bounds live memory: per-iteration buffers
     (one-hot, window pair, tap tensor) are a few hundred MB at the
     canonical config instead of the tens of GB an unchunked einsum
     would materialize.
 
-Autodiff transposes the one-hot contraction into another matmul, so the
-backward pass is scatter-free: sampled-value gradients (the geometry
-loss's depth-warp gradient) are a transposed matmul, and coordinate
-gradients flow through the fp32 VPU weights only. When the source image
-carries no gradient (``stop_gradient`` — camera frames are input data),
-the backward pass skips the transpose matmul entirely and is pure VPU.
+Round-5 structure (the production path, ``warp_sample_band_packed`` with
+a ladder or ``nf``): every ladder rung emits the SAME canonical output —
+the four raw bf16 taps per pixel, ``[B, H, W, 4C]`` — from one custom-VJP
+``lax.switch`` whose residuals are just two int index maps + the rung
+selector (uniform across rungs: no residual-union traffic, no
+branch-boundary layout copies), and the fp32 bilinear weight combine
+happens OUTSIDE the switch as ordinary differentiable math. Band-fit
+predicates are per-tile masked min/max reductions of the canonical
+x0/y0 maps (:func:`_fits_elems`). The custom backward rebuilds the
+binary one-hots and runs ONE transposed matmul per tile over only the
+``grad_channels`` leading channels (the sampled depth; sampled camera
+frames are stop-gradient input data), so the backward pass is
+scatter-free and recompute-free.
 """
 
 from __future__ import annotations
@@ -837,13 +843,14 @@ def warp_sample_band_packed(
     violations trigger the same whole-call fallback.
     ``cols_per_chunk`` defaults to ``xband // 2`` (parity-matched).
 
-    ``ladder_band`` (optional) inserts a MIDDLE fallback rung: when the
-    primary band misses, a full-width 1-D band of ``ladder_band`` rows is
-    tried before the exact gather path (one ``lax.switch`` picks the
-    cheapest branch whose displacement budget covers this call). The
-    expected cost of an occasional violation drops from the gather step
-    (~4.5x the band step at the canonical config) to the wide-band step
-    (~1.2-2x), while remaining exact for every input.
+    ``ladder_band`` (optional) arms the fallback LADDER (the production
+    configuration): one ``lax.switch`` picks the cheapest rung whose
+    displacement budget covers this call — primary band -> full-width
+    1-D ``ladder_band``-row band -> always-fits COVER band. No gather
+    branch exists in the program; every rung is band-exact (bf16 source
+    rounding + fp32 weights), so an occasional violation costs ~1.2-2x a
+    primary step instead of the ~6x gather step, and the worst case is
+    bounded by the cover rung (~4.8x).
     """
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
