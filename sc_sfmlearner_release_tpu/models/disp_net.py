@@ -34,7 +34,9 @@ class ReflectConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        from ..ops.reflect_pad import reflect_pad1_hw4
+
+        x = reflect_pad1_hw4(x)
         return nn.Conv(
             self.features, (3, 3), padding="VALID", dtype=self.dtype,
             kernel_init=conv_torch_default_init, name="conv",

@@ -149,8 +149,10 @@ def _pad_packed_reflect(x: jax.Array, p: int, c: int) -> jax.Array:
     of the right group (reflect pixel W-2) are ever read by the dense
     kernel — remaining positions stay zero.
     """
+    from ..ops.reflect_pad import reflect_pad1_h
+
     b, h, wp, pc = x.shape
-    x = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+    x = reflect_pad1_h(x)
     # reflect pixel 1 -> group 1 // p, position 1 % p
     g1, q1 = divmod(1, p)
     left_px = x[:, :, g1, q1 * c : (q1 + 1) * c]
@@ -276,13 +278,15 @@ class PackedConvSame(nn.Module):
             kernel.astype(self.dtype), p, self.strides
         )
         pad_h = k // 2
-        x = jnp.pad(
-            x.astype(self.dtype),
-            ((0, 0), (pad_h, pad_h), (pad_groups, pad_groups), (0, 0)),
-        )
+        # Zero padding rides the conv op's native window padding: an
+        # explicit jnp.pad materializes the padded activation (one extra
+        # HBM pass) and differentiates into a pad-transpose slice; the
+        # conv handles both directions internally for free.
         return jax.lax.conv_general_dilated(
-            x, dense, window_strides=(self.strides, self.strides),
-            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            x.astype(self.dtype), dense,
+            window_strides=(self.strides, self.strides),
+            padding=((pad_h, pad_h), (pad_groups, pad_groups)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
 

@@ -416,14 +416,13 @@ class _StemConv(nn.Module):
             kernel.astype(self.dtype), self.pack
         )
         # group-tap range is asymmetric in general (e.g. pack=1: taps at
-        # offsets -2..1): left pad = -d_min (pad_groups), right = d_max
+        # offsets -2..1): left pad = -d_min (pad_groups), right = d_max.
+        # Zero padding rides the conv's native window padding (no
+        # materialized padded activation, no pad-transpose in backward).
         pad_right = dense.shape[1] - 1 - pad_groups
-        x = jnp.pad(
-            x2p.astype(self.dtype),
-            ((0, 0), (2, 1), (pad_groups, pad_right), (0, 0)),
-        )
         return jax.lax.conv_general_dilated(
-            x, dense, window_strides=(1, 1), padding="VALID",
+            x2p.astype(self.dtype), dense, window_strides=(1, 1),
+            padding=((2, 1), (pad_groups, pad_right)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .reflect_pad import reflect_pad1_hw
+
 _C1 = 0.01**2
 _C2 = 0.03**2
 
@@ -46,9 +48,8 @@ def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
     def to3(a):
         return a.transpose(0, 3, 1, 2).reshape(b * c, h, w)
 
-    pad = ((0, 0), (1, 1), (1, 1))
-    xp = jnp.pad(to3(x), pad, mode="reflect")
-    yp = jnp.pad(to3(y), pad, mode="reflect")
+    xp = reflect_pad1_hw(to3(x))
+    yp = reflect_pad1_hw(to3(y))
 
     mu_x = _mean_pool3(xp)
     mu_y = _mean_pool3(yp)
@@ -69,9 +70,8 @@ def ssim_nchw(x: jax.Array, y: jax.Array) -> jax.Array:
     :func:`ssim`); the hot-path layout — W stays the minor/lane dim with
     no transposes in or out."""
     b, c, h, w = x.shape
-    pad = ((0, 0), (1, 1), (1, 1))
-    xp = jnp.pad(x.reshape(b * c, h, w), pad, mode="reflect")
-    yp = jnp.pad(y.reshape(b * c, h, w), pad, mode="reflect")
+    xp = reflect_pad1_hw(x.reshape(b * c, h, w))
+    yp = reflect_pad1_hw(y.reshape(b * c, h, w))
 
     mu_x = _mean_pool3(xp)
     mu_y = _mean_pool3(yp)

@@ -77,6 +77,61 @@ def build(variant: dict):
     state = create_train_state(disp, pose, tx, jax.random.PRNGKey(0))
     state = replicate(state, mesh)
 
+    if variant.get("enc_only"):
+        # ResNet encoder alone (fwd / fwd+bwd+opt on the DispNet-shaped
+        # batch): splits the disp cost into encoder vs decoder per depth.
+        import optax
+
+        from sc_sfmlearner_release_tpu.models.resnet import ResNetEncoder
+
+        enc = ResNetEncoder(
+            num_layers=layers, dtype=jnp.bfloat16,
+            packed=variant.get("packed", True),
+        )
+        imgs = np.concatenate(
+            [host["tgt"][:, :, None], host["refs"]], axis=2
+        ).reshape(FUSED, B * (N + 1), H, W, 3)
+        if imgs.dtype == np.uint8:
+            imgs = imgs.astype(np.float32) / 255.0
+        host = {"imgs": imgs}
+        evars = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)),
+                         train=True)
+        etx = optax.adam(1e-4)
+        eopt = etx.init(evars["params"])
+        state = replicate(
+            {"params": evars["params"], "stats": evars["batch_stats"],
+             "opt": eopt, "step": jnp.zeros((), jnp.int32)}, mesh)
+        fwd_only = variant.get("fwd_only", False)
+
+        def one(state, batch):
+            def loss_fn(params):
+                feats, upd = enc.apply(
+                    {"params": params, "batch_stats": state["stats"]},
+                    batch["imgs"], train=True, mutable=["batch_stats"],
+                )
+                s = sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
+                return s * 1e-6, upd["batch_stats"]
+
+            if fwd_only:
+                loss, stats = loss_fn(state["params"])
+                return {**state, "stats": stats,
+                        "step": state["step"] + 1}, {"loss": loss[None]}
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state["params"])
+            updates, opt = etx.update(grads, state["opt"], state["params"])
+            return {
+                "params": optax.apply_updates(state["params"], updates),
+                "stats": stats, "opt": opt, "step": state["step"] + 1,
+            }, {"loss": loss[None]}
+
+        step = jax.jit(
+            lambda s, b: jax.lax.scan(one, s, b), donate_argnums=(0,)
+        )
+        batch = shard_batch(host, mesh, stacked=True)
+        pick = jax.jit(
+            lambda m: m["loss"].ravel()[-1].astype(jnp.float32))
+        return step, state, batch, pick
+
     if variant.get("convs_only"):
         # Networks fwd+bwd+optimizer only: dummy sum loss in place of the
         # warp/photometric chain — isolates the conv-stack cost. Variant
@@ -275,6 +330,14 @@ CONFIGS = {
                               "layers": 50, "dec_pack_caps": (8, 4, 1, 1, 1)},
     "disp_only_r50_pack884": {"convs_only": True, "nets": "disp",
                               "layers": 50, "dec_pack_caps": (8, 8, 4, 1, 1)},
+    # round-5b: encoder-only splits (decoder cost = disp_only - enc_only)
+    "enc_only": {"enc_only": True},
+    "enc_only_r50": {"enc_only": True, "layers": 50},
+    "enc_fwd_only": {"enc_only": True, "fwd_only": True},
+    "enc_fwd_only_r50": {"enc_only": True, "layers": 50,
+                         "fwd_only": True},
+    "enc_only_r50_unpacked": {"enc_only": True, "layers": 50,
+                              "packed": False},
 }
 
 
