@@ -72,6 +72,15 @@ class DepthDecoder(nn.Module):
     # None = _stage_pack defaults. Measurement knob: r50's skip concats
     # are 4x wider than r18's, which shifts where packing pays.
     pack_caps: Optional[Tuple[int, ...]] = None
+    # Lane-full (>=128-ch) skips can bypass W-packing via the linearity
+    # split (PackedReflectConv3x3.wide) — only meaningful on bottleneck
+    # encoders (r18/34 skips are all <128-ch). MEASURED NEUTRAL on v5e
+    # (r50 production step 104.2 -> 104.0 ms; disp-only 56.5 -> 56.4):
+    # the P x MAC saving on the 256-ch stage-2 skip is offset by the
+    # second conv dispatch + add pass. Kept as an opt-in measurement
+    # knob; default off preserves the single-contraction packed conv
+    # (bit-exact vs the unpacked path).
+    split_wide_skips: bool = False
 
     def _pack(self, i: int) -> int:
         if self.pack_caps is not None:
@@ -136,13 +145,22 @@ class DepthDecoder(nn.Module):
             x, p = upsample2x_packed(x, p, c)
             x = repack(x, p, pi, c)
             p = pi
-            segs, seg_c = [x], [c]
+            segs, seg_c, seg_wide = [x], [c], [False]
             if i > 0:
                 skip = features[i - 1]
-                segs.append(pack_w(skip, p))
+                # A skip that already fills the 128 lanes gains nothing
+                # from W-packing but pays P x the MACs in the expanded
+                # dense kernel (ResNet-50+: stage-2 skip is 256-ch).
+                # Run it as a native-layout conv branch instead
+                # (linearity split, see PackedReflectConv3x3).
+                wide = self.split_wide_skips and p > 1 and \
+                    skip.shape[-1] >= 128
+                segs.append(skip if wide else pack_w(skip, p))
                 seg_c.append(skip.shape[-1])
+                seg_wide.append(wide)
             x = nn.elu(
                 PackedConvBlock(f, tuple(seg_c), p, self.dtype,
+                                wide=tuple(seg_wide),
                                 name=f"upconv_{i}_1")(segs)
             )
             c = f
@@ -173,6 +191,7 @@ class DispNet(nn.Module):
     packed_stem: bool = False
     stem_pack: int = 8
     decoder_pack_caps: Optional[Tuple[int, ...]] = None
+    decoder_split_wide_skips: bool = False  # see DepthDecoder
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, ...]:
@@ -187,5 +206,6 @@ class DispNet(nn.Module):
         )(x, train)
         return DepthDecoder(
             dtype=self.dtype, packed=self.packed_decoder,
-            pack_caps=self.decoder_pack_caps, name="decoder"
+            pack_caps=self.decoder_pack_caps,
+            split_wide_skips=self.decoder_split_wide_skips, name="decoder"
         )(features)

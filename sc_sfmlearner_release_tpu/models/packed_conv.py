@@ -175,19 +175,31 @@ class PackedReflectConv3x3(nn.Module):
     compute layout differs. Segments: [(x_packed, C_j), ...] all packed
     with the same factor ``p`` (same W'), concatenated channel-wise in
     the reference's concat order.
+
+    ``wide[j]`` marks segment j as an already-lane-full (C_j >= 128)
+    input passed UNPACKED: expanding such a segment into the packed dense
+    kernel multiplies its MACs by P for zero lane benefit (the ResNet-50+
+    decoder's stage-2 skip is 256-channel). By conv linearity
+    ``conv(concat(a, b), K) = conv(a, K_a) + conv(b, K_b)``, so wide
+    segments run a native NHWC reflect conv on the original [3,3,C_j,F]
+    kernel slice and their output is W-packed and added — identical math
+    up to the fp summation split between the two partial sums.
     """
 
     features: int
     in_channels: Tuple[int, ...]
     pack: int
     dtype: Any = jnp.float32
+    wide: Tuple[bool, ...] = ()
 
     @nn.compact
     def __call__(self, segments: List[jax.Array]) -> jax.Array:
         from .disp_net import conv_torch_default_init
+        from ..ops.reflect_pad import reflect_pad1_hw4
 
         p = self.pack
         c_total = sum(self.in_channels)
+        wide = self.wide or (False,) * len(self.in_channels)
         kernel = self.param(
             "kernel", conv_torch_default_init,
             (3, 3, c_total, self.features), jnp.float32,
@@ -196,12 +208,30 @@ class PackedReflectConv3x3(nn.Module):
             "bias", nn.initializers.zeros_init(),
             (self.features,), jnp.float32,
         )
+        packed_segs, packed_chans, packed_k = [], [], []
+        wide_out = None
+        off = 0
+        for s, cj, is_wide in zip(segments, self.in_channels, wide):
+            kj = kernel[:, :, off : off + cj, :].astype(self.dtype)
+            if is_wide:
+                xw = reflect_pad1_hw4(s.astype(self.dtype))
+                ow = jax.lax.conv_general_dilated(
+                    xw, kj, window_strides=(1, 1), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                ow = pack_w(ow, p)
+                wide_out = ow if wide_out is None else wide_out + ow
+            else:
+                packed_segs.append(s)
+                packed_chans.append(cj)
+                packed_k.append(kj)
+            off += cj
         dense = _dense_packed_kernel(
-            kernel.astype(self.dtype), self.in_channels, p
+            jnp.concatenate(packed_k, axis=2), packed_chans, p
         )
         padded = [
             _pad_packed_reflect(s.astype(self.dtype), p, cj)
-            for s, cj in zip(segments, self.in_channels)
+            for s, cj in zip(packed_segs, packed_chans)
         ]
         x = padded[0] if len(padded) == 1 else jnp.concatenate(padded, -1)
         out = jax.lax.conv_general_dilated(
@@ -209,6 +239,8 @@ class PackedReflectConv3x3(nn.Module):
             window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        if wide_out is not None:
+            out = out + wide_out
         pbias = jnp.tile(bias, p).astype(out.dtype)
         return out + pbias
 
@@ -222,12 +254,13 @@ class PackedConvBlock(nn.Module):
     in_channels: Tuple[int, ...]
     pack: int
     dtype: Any = jnp.float32
+    wide: Tuple[bool, ...] = ()
 
     @nn.compact
     def __call__(self, segments: List[jax.Array]) -> jax.Array:
         return PackedReflectConv3x3(
             self.features, tuple(self.in_channels), self.pack, self.dtype,
-            name="conv",
+            wide=self.wide, name="conv",
         )(segments)
 
 

@@ -380,20 +380,46 @@ class ResNetEncoder(nn.Module):
         return features
 
 
-def _max_pool3x3s2(x: jax.Array) -> jax.Array:
+def _max_pool3x3s2(x: jax.Array, shifted: bool = False) -> jax.Array:
     """torch MaxPool2d(3, stride 2, pad 1) via reduce_window's built-in
     padding (init value = -inf, so the pad IS -inf padding). An explicit
     jnp.pad(-inf) + VALID pool is the same math but materializes the
     padded stem tensor (~330 MB bf16 at the canonical config) and pays a
     pad-transpose in the backward pass — both visible in the compiled
-    HLO's top ops."""
-    # nn.max_pool routes to reduce_window_max (which has the proper
-    # reverse-mode rule for bf16; calling lax.reduce_window with a generic
-    # lax.max computation misses that specialization and fails to
-    # differentiate).
-    return nn.max_pool(
-        x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+    HLO's top ops.
+
+    ``shifted=True`` is a KEPT MEASURED-NEGATIVE alternative: a separable
+    shifted-slice maximum tree whose backward is plain fused selects
+    instead of reduce_window's ``select-and-scatter`` (~8 ESTIMATED
+    ms/step in the compiled production step — the HLO cost model's
+    largest non-conv backward op). Measured on v5e it is far SLOWER
+    (disp-only 34.2 -> 40.4, pose-only 14.4 -> 22.7, full production
+    step 81.1 -> 96.8 ms): the -inf row pad plus six strided slices cost
+    more than select-and-scatter actually runs, the third case this round
+    where estimated_cycles mis-ranked a memory-layout op. It also SPLITS
+    tie cotangents across equal window elements (post-relu zero windows)
+    where torch and select-and-scatter route to the first — a gradient
+    semantics deviation (tests/test_packed_decoder.py::
+    test_maxpool_shifted_matches_reduce_window documents both)."""
+    if not shifted:
+        # nn.max_pool routes to reduce_window_max (which has the proper
+        # reverse-mode rule for bf16; calling lax.reduce_window with a
+        # generic lax.max computation misses that specialization and
+        # fails to differentiate).
+        return nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    # Row max first, on stride-2 rows only (3x less work than max-all-rows)
+    rows = jnp.maximum(
+        jnp.maximum(xp[:, 0:-2:2], xp[:, 1:-1:2]), xp[:, 2::2]
     )
+    out = jnp.maximum(
+        jnp.maximum(rows[:, :, 0:-2:2], rows[:, :, 1:-1:2]),
+        rows[:, :, 2::2],
+    )
+    return out
 
 
 class _StemConv(nn.Module):

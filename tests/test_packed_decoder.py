@@ -63,6 +63,74 @@ def test_packed_conv_two_segments_matches_concat():
     )
 
 
+def test_packed_conv_wide_segment_matches_concat():
+    """Linearity split: a lane-full (>=128ch) segment convolved natively
+    and added must match the single-contraction conv of the concat."""
+    from sc_sfmlearner_release_tpu.models.packed_conv import PackedConvBlock
+
+    r = np.random.RandomState(5)
+    x1 = jnp.asarray(r.rand(2, 8, 32, 16).astype(np.float32))
+    x2 = jnp.asarray(r.rand(2, 8, 32, 128).astype(np.float32))
+    m = PackedConvBlock(16, (16, 128), 4, jnp.float32, wide=(False, True))
+    segs = [pack_w(x1, 4), x2]
+    v = m.init(jax.random.PRNGKey(0), segs)
+    w = v["params"]["conv"]["kernel"]
+    b = v["params"]["conv"]["bias"]
+    out = unpack_w(m.apply(v, segs), 4, 16)
+    ref = _ref_conv(jnp.concatenate([x1, x2], -1), w) + b
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_packed_decoder_r50_wide_split_matches_plain():
+    """Full DispNet-50: packed decoder with the wide-skip linearity split
+    vs the plain decoder — same params, tolerance-level equality."""
+    r = np.random.RandomState(6)
+    x = jnp.asarray(r.rand(1, 64, 64, 3).astype(np.float32))
+    m = DispNet(num_layers=50, decoder_split_wide_skips=True)
+    m_plain = DispNet(num_layers=50, packed_decoder=False)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out_p = m.apply(v, x, train=False)
+    out_u = m_plain.apply(v, x, train=False)
+    for i, (a, b) in enumerate(zip(out_p, out_u)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
+            err_msg=f"scale {i}",
+        )
+
+
+def test_maxpool_shifted_matches_reduce_window():
+    """Shifted-slice maxpool (kept measured-negative alternative) vs the
+    production reduce_window maxpool: values exactly equal; gradients
+    equal on distinct values, but on tied windows (post-relu zeros) the
+    max-tree SPLITS the cotangent where select-and-scatter routes it to
+    the first element — documented here, and one reason the alternative
+    stays off."""
+    from sc_sfmlearner_release_tpu.models.resnet import _max_pool3x3s2
+
+    r = np.random.RandomState(7)
+    dense = r.rand(2, 8, 12, 5).astype(np.float32)
+    sparse = np.maximum(r.randn(2, 8, 12, 5), 0.0).astype(np.float32)
+    sparse[0, :4] = 0.0  # all-zero windows: every element ties
+    for arr, tied in ((dense, False), (sparse, True)):
+        x = jnp.asarray(arr)
+        a = _max_pool3x3s2(x, shifted=True)
+        b = _max_pool3x3s2(x, shifted=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ct = jnp.asarray(r.randn(*a.shape), jnp.float32)
+        ga = jax.grad(lambda v: jnp.sum(_max_pool3x3s2(v, True) * ct))(x)
+        gb = jax.grad(lambda v: jnp.sum(_max_pool3x3s2(v, False) * ct))(x)
+        if tied:
+            assert np.abs(np.asarray(ga) - np.asarray(gb)).max() > 1e-3
+        else:
+            # a max shared by overlapping windows accumulates its window
+            # cotangents in a different order (ulp-level reassociation)
+            np.testing.assert_allclose(
+                np.asarray(ga), np.asarray(gb), rtol=1e-6, atol=0
+            )
+
+
 def test_packed_upsample_matches_plain():
     r = np.random.RandomState(2)
     x = jnp.asarray(r.rand(2, 4, 16, 16).astype(np.float32))

@@ -201,6 +201,18 @@ def build(variant: dict):
 
         step = jax.jit(fused, donate_argnums=(0,))
     else:
+        # Optional smooth-loss excision (it is computed unconditionally in
+        # the production step, so weight=0 would not remove its cost):
+        # patch the step module's imported symbol, restoring the original
+        # for subsequent configs in this process.
+        import sc_sfmlearner_release_tpu.training.step as _step
+        global _ORIG_SMOOTH
+        if "_ORIG_SMOOTH" not in globals():
+            _ORIG_SMOOTH = _step.smooth_loss
+        _step.smooth_loss = (
+            (lambda *a, **k: jnp.zeros(())) if variant.get("no_smooth")
+            else _ORIG_SMOOTH
+        )
         cfg = LossConfig(
             num_scales=1,
             with_ssim=variant.get("ssim", True),
@@ -330,6 +342,16 @@ CONFIGS = {
                               "layers": 50, "dec_pack_caps": (8, 4, 1, 1, 1)},
     "disp_only_r50_pack884": {"convs_only": True, "nets": "disp",
                               "layers": 50, "dec_pack_caps": (8, 8, 4, 1, 1)},
+    # round-5b: loss-component splits at the PRODUCTION sampler
+    "prod_no_ssim_lr0": {"sampler": "band80r16x368c208l192", "lr": 0.0,
+                         "ssim": False},
+    "prod_no_masks_lr0": {"sampler": "band80r16x368c208l192", "lr": 0.0,
+                          "mask": False, "auto_mask": False},
+    "prod_no_smooth_lr0": {"sampler": "band80r16x368c208l192", "lr": 0.0,
+                           "no_smooth": True},
+    "prod5_plain_l1_lr0": {"sampler": "band80r16x368c208l192", "lr": 0.0,
+                           "ssim": False, "mask": False,
+                           "auto_mask": False, "no_smooth": True},
     # round-5b: encoder-only splits (decoder cost = disp_only - enc_only)
     "enc_only": {"enc_only": True},
     "enc_only_r50": {"enc_only": True, "layers": 50},
