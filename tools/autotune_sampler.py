@@ -55,11 +55,13 @@ DEFAULT_CANDIDATES = (
 PAIRS_PER_STEP = 16
 
 
-def _measure_step(sampler: str, n: int, lr: float = 0.0) -> float:
+def _measure_step(
+    sampler: str, n: int, lr: float = 0.0, layers: int = 18
+) -> float:
     import tools.ablate_step as ab
 
     name = f"autotune:{sampler}"
-    ab.CONFIGS[name] = {"sampler": sampler, "lr": lr}
+    ab.CONFIGS[name] = {"sampler": sampler, "lr": lr, "layers": layers}
     return ab.measure(name, n)
 
 
@@ -126,6 +128,9 @@ def main() -> None:
                    help="profile weights per speed (default: uniform)")
     p.add_argument("--n", type=int, default=12,
                    help="long-chain length for the slope protocol")
+    p.add_argument("--layers", type=int, default=18,
+                   help="DispNet encoder depth to tune for (pose stays "
+                        "18, reference parity)")
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--seeds", type=int, default=2)
     p.add_argument("--no-rates", dest="rates", action="store_false",
@@ -149,14 +154,17 @@ def main() -> None:
 
     print("== primary-path step cost (slope protocol, lr=0) ==",
           flush=True)
-    base = {c: _measure_step(c, args.n) * 1e3 for c in candidates}
+    base = {
+        c: _measure_step(c, args.n, layers=args.layers) * 1e3
+        for c in candidates
+    }
 
     rung = {}
     if args.rates:
         print("\n== fallback-rung step cost ==", flush=True)
         rung_names = {c: _rung_sampler(c) for c in candidates}
         for rs in sorted(set(rung_names.values())):
-            cost = _measure_step(rs, args.n) * 1e3
+            cost = _measure_step(rs, args.n, layers=args.layers) * 1e3
             for c, name in rung_names.items():
                 if name == rs:
                     rung[c] = cost
